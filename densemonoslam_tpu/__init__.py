@@ -1,0 +1,35 @@
+"""densemonoslam_tpu — a TPU-native dense collaborative monocular/RGB-D SLAM framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+robotvisionmu/DenseMonoSLAM (ElasticFusion-style surfel SLAM + monocular depth
+prediction + hybrid sparse tracking + NID keyframing + collaborative multi-map
+sessions).  The reference system splits its hot path across GLSL transform
+feedback, CUDA kernels, and CPU Eigen/CHOLMOD; here everything is dense-array
+functional state transformed by jitted steps:
+
+- the surfel map is a fixed-capacity SoA tensor (``mapping.surfel_map``), not a
+  GL VBO ping-pong pair;
+- the tracking Gauss-Newton normal equations are built by a single MXU matmul
+  (``ops.reductions``), not a warp-shuffle tree reduction;
+- map prediction is a scatter-min z-buffer rasteriser (``ops.splat``), not a
+  point-sprite render pass;
+- the deformation-graph solve is an on-device dense/CG Gauss-Newton
+  (``mapping.deformation``), not CHOLMOD on the host;
+- collaborative multi-camera sessions shard cameras and surfel blocks over a
+  ``jax.sharding.Mesh`` (``parallel``), not LCM UDP multicast into one GPU.
+"""
+
+from densemonoslam_tpu.config import (
+    CameraIntrinsics,
+    EngineConfig,
+    FrameResolution,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CameraIntrinsics",
+    "EngineConfig",
+    "FrameResolution",
+    "__version__",
+]

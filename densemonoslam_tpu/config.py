@@ -1,0 +1,161 @@
+"""Configuration objects for the engine.
+
+Replaces the reference's process-wide singletons (`Resolution::getInstance`,
+`Intrinsics::getInstance`, `Core/src/Utils/{Resolution,Intrinsics}.h`) and the
+boost::program_options `Options` singleton (`Core/src/Utils/Options.h:83-359`,
+flag list in reference `README.md:56-126`) with explicit dataclasses passed to
+the engine.  Defaults mirror the reference's defaults so behaviour parity can
+be checked flag-by-flag; names are spelled out instead of the reference's
+two-letter CLI mnemonics (`--t`, `--ic`, `--ie`, ...).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameResolution:
+    """Image size processed by the engine (reference `Resolution.h` singleton).
+
+    Reference operating points: 1024x320 for KITTI/ECMR'21
+    (`GUI/src/MainController.cpp:39`), 640x480 for TUM/ICL
+    (`GPUTest/src/GPUTest.cpp:163`).
+    """
+
+    width: int = 640
+    height: int = 480
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
+
+    def pyramid(self, levels: int) -> Tuple["FrameResolution", ...]:
+        """Resolutions of a power-of-two pyramid, level 0 = full size."""
+        return tuple(
+            FrameResolution(self.width >> i, self.height >> i) for i in range(levels)
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraIntrinsics:
+    """Pinhole intrinsics (reference `Intrinsics.h` singleton; calibration file
+    is one line "fx fy cx cy", `GUI/src/MainController.cpp:171-188`)."""
+
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+
+    def matrix(self) -> np.ndarray:
+        return np.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=np.float32,
+        )
+
+    def scaled(self, level: int) -> "CameraIntrinsics":
+        """Intrinsics for pyramid level `level` (each level halves the image).
+
+        Matches the reference's per-level `K(i)` used by the trackers
+        (`Core/src/Utils/RGBDOdometry.cpp` pyramid setup).
+        """
+        s = 1.0 / (1 << level)
+        return CameraIntrinsics(self.fx * s, self.fy * s, self.cx * s, self.cy * s)
+
+    @staticmethod
+    def default_for(res: FrameResolution) -> "CameraIntrinsics":
+        """Reference fallback when no calibration is given: fx=fy=528-style
+        Kinect defaults scaled to the resolution (EF convention)."""
+        return CameraIntrinsics(
+            fx=528.0 * res.width / 640.0,
+            fy=528.0 * res.height / 480.0,
+            cx=res.width / 2.0 - 0.5,
+            cy=res.height / 2.0 - 0.5,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Engine behaviour flags.  Source of every default: the reference
+    `Options.h:83-100` defaults and `README.md:56-126` flag docs.
+    """
+
+    # --- time-windowed active/inactive map (`--t`) -------------------------
+    time_delta: int = 200  # ticks; surfels older than this are "inactive"
+
+    # --- loop-closure acceptance gates ------------------------------------
+    icp_count_thresh: int = 35000  # `--ic` inlier count gate
+    icp_err_thresh: float = 5e-5  # `--ie` ICP error gate
+    cov_thresh: float = 1e-5  # `--cv` covariance gate
+    photo_thresh: float = 115.0  # `--pt` fern photometric consistency gate
+    fern_thresh: float = 0.3095  # `--ft` fern dissimilarity keep threshold
+
+    # --- map / fusion ------------------------------------------------------
+    confidence_threshold: float = 10.0  # `--c` surfel stable-confidence gate
+    depth_cutoff: float = 3.0  # `--d` metres; depth beyond this ignored
+    max_depth: float = 3.0  # `--md` tracking depth cutoff
+    icp_weight: float = 10.0  # `--i` ICP weight vs RGB in joint GN
+
+    # --- NID keyframing (`--nid`, `--ndw`, `--nbi`, `--nbd`, `--nkf`) ------
+    nid_threshold: float = 0.85
+    nid_depth_weight: float = 0.7
+    nid_bins_img: int = 64
+    nid_bins_depth: int = 500
+    nid_keyframing: bool = True  # `--nkf` disables when False
+
+    # --- deformation graph -------------------------------------------------
+    deform_graph_sample_rate: int = 5000  # `--dgs` 1 node per N surfels
+    max_deform_nodes: int = 512  # reference buffer cap is 2048 (Deformation.cpp:27)
+
+    # --- tracker mode flags ------------------------------------------------
+    open_loop: bool = False  # `--o` disable deformation/loops
+    rgb_only: bool = False  # `--rgb` photometric-only tracking
+    pyramid: bool = True  # `--np` disables coarse-to-fine when False
+    fast_odom: bool = False  # `--fo` single-level {3,0,0} iterations
+    so3: bool = True  # `--nso` disables SO(3) pre-alignment when False
+    frame_to_frame_rgb: bool = False  # `--ftf`
+    relocalisation: bool = False  # `--rl` tracking-loss detection + fern reloc
+    icl_nuim: bool = False  # `--icl` flip normals (synthetic data convention)
+
+    # --- sparse/hybrid tracking -------------------------------------------
+    orb_tracking: bool = False  # `--orb_tracking` pose from sparse tracker
+    hybrid_loops: bool = False  # `--hybrid_loops` sparse loop pairs drive global deforms
+    predict_depth: bool = False  # `--predict_depth` monocular depth CNN
+
+    # --- ferns -------------------------------------------------------------
+    num_ferns: int = 500
+    fern_pyr_level: int = 3  # ferns operate on 8x-downsampled frames
+
+    # --- capacity ----------------------------------------------------------
+    max_surfels: int = 1 << 21  # reference: 5700^2 ~= 32.5M (GlobalModel.cpp:22-24)
+    max_sensors: int = 3  # MAX_SENSORS/NUM_CAMERAS (Shaders/size.glsl)
+
+    # --- misc --------------------------------------------------------------
+    fusion_weight_multiplier: float = 1.0  # per-frame weight scale (velocity-based)
+    depth_factor: float = 1000.0  # raw uint16 depth units per metre
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Bundle of what the reference configures once per process but we carry
+    per camera stream (collaborative sessions may mix sensors)."""
+
+    resolution: FrameResolution
+    intrinsics: CameraIntrinsics
+    name: str = "cam0"
+
+    @staticmethod
+    def tum_default(name: str = "cam0") -> "CameraConfig":
+        res = FrameResolution(640, 480)
+        return CameraConfig(res, CameraIntrinsics(528.0, 528.0, 320.0, 240.0), name)
+
+    @staticmethod
+    def kitti_default(name: str = "cam0") -> "CameraConfig":
+        res = FrameResolution(1024, 320)
+        return CameraConfig(res, CameraIntrinsics(707.09, 707.09, 601.89, 183.11), name)

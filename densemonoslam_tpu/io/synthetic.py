@@ -1,0 +1,217 @@
+"""Synthetic RGB-D sequence generator — the framework's deterministic test
+fixture.
+
+The reference repo validates by replaying recorded logs (its `GPUTest` uses a
+two-frame TUM PNG fixture, `GPUTest/src/GPUTest.cpp:146-332`); no dataset can
+be downloaded here, so instead we ray-cast an analytic textured box room from
+known poses.  That yields pixel-exact depth, normals, and ground-truth
+trajectories, which makes it a *stronger* oracle than recorded data: tracking
+and fusion tests can assert absolute pose error bounds.
+
+Scene: the camera moves inside an axis-aligned box; each pixel's ray is
+intersected with the box interior (exact), colour is a smooth multi-frequency
+function of the 3D hit point so that photometric tracking has texture to lock
+onto.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from densemonoslam_tpu.config import CameraConfig, CameraIntrinsics, FrameResolution
+
+
+def _rotation_xyz(rx: float, ry: float, rz: float) -> np.ndarray:
+    cx, sx = np.cos(rx), np.sin(rx)
+    cy, sy = np.cos(ry), np.sin(ry)
+    cz, sz = np.cos(rz), np.sin(rz)
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return (Rz @ Ry @ Rx).astype(np.float64)
+
+
+def _texture(p: np.ndarray) -> np.ndarray:
+    """Smooth deterministic RGB texture of 3D position, in [0, 1]."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    r = 0.5 + 0.25 * np.sin(3.1 * x + 1.3) * np.cos(2.3 * y) + 0.15 * np.sin(5.7 * z)
+    g = 0.5 + 0.25 * np.cos(2.9 * y + 0.7) * np.sin(3.7 * z) + 0.15 * np.sin(4.3 * x + 2.0)
+    b = 0.5 + 0.25 * np.sin(2.1 * z + 2.9) * np.cos(4.1 * x) + 0.15 * np.cos(3.3 * y + 1.1)
+    # high-frequency detail so small warps change intensity measurably
+    d = 0.08 * np.sin(11.0 * x) * np.sin(13.0 * y) * np.sin(9.0 * z)
+    return np.clip(np.stack([r + d, g + d, b + d], axis=-1), 0.0, 1.0)
+
+
+class BoxRoomScene:
+    """Axis-aligned box interior with analytic spheres inside.
+
+    The spheres give every view depth discontinuities and curved normals so
+    that point-to-plane ICP is fully constrained in all 6 DoF (a bare wall
+    constrains only 3), and so fusion/cleaning tests see occlusions.
+    """
+
+    DEFAULT_SPHERES = (
+        # (cx, cy, cz, radius)
+        (0.6, 0.3, 1.2, 0.35),
+        (-0.8, -0.4, 1.5, 0.45),
+        (0.1, -0.6, 0.9, 0.25),
+        (-0.3, 0.7, 1.6, 0.3),
+        (1.2, -0.2, -0.9, 0.4),
+        (-1.1, 0.4, -1.2, 0.35),
+    )
+
+    def __init__(
+        self,
+        half: Tuple[float, float, float] = (2.0, 1.6, 2.4),
+        spheres: Tuple[Tuple[float, float, float, float], ...] | None = None,
+    ):
+        self.lo = -np.asarray(half, dtype=np.float64)
+        self.hi = np.asarray(half, dtype=np.float64)
+        if spheres is None:
+            spheres = self.DEFAULT_SPHERES
+        self.sphere_c = np.array([s[:3] for s in spheres], dtype=np.float64)
+        self.sphere_r = np.array([s[3] for s in spheres], dtype=np.float64)
+
+    def raycast(
+        self, origins: np.ndarray, dirs: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Intersect rays with the scene (box interior + spheres).
+
+        Returns (t, points, normals) with t the ray parameter, all in world
+        coordinates.  Rays are assumed to start inside the box; for each axis
+        the box exit plane is picked by direction sign, and the nearest
+        positive sphere hit (if any) wins over the wall.
+        """
+        d = np.where(np.abs(dirs) < 1e-12, 1e-12, dirs)
+        bound = np.where(d > 0, self.hi, self.lo)
+        t_axis = (bound - origins) / d  # [..., 3] per-axis exit parameter
+        axis = np.argmin(t_axis, axis=-1)
+        t = np.take_along_axis(t_axis, axis[..., None], axis=-1)[..., 0]
+        normals = np.zeros(origins.shape, dtype=np.float64)
+        sign = -np.sign(np.take_along_axis(d, axis[..., None], axis=-1))[..., 0]
+        np.put_along_axis(normals, axis[..., None], sign[..., None], axis=-1)
+
+        # spheres: solve |o + t d - c|^2 = r^2 per sphere, keep nearest hit
+        d2 = np.sum(dirs * dirs, axis=-1)
+        for c, r in zip(self.sphere_c, self.sphere_r):
+            oc = origins - c
+            b = np.sum(oc * dirs, axis=-1)
+            cterm = np.sum(oc * oc, axis=-1) - r * r
+            disc = b * b - d2 * cterm
+            hit = disc > 0
+            sq = np.sqrt(np.maximum(disc, 0.0))
+            t_s = (-b - sq) / np.maximum(d2, 1e-12)
+            closer = hit & (t_s > 1e-6) & (t_s < t)
+            t = np.where(closer, t_s, t)
+            p_s = origins + t_s[..., None] * dirs
+            n_s = (p_s - c) / r
+            normals = np.where(closer[..., None], n_s, normals)
+
+        points = origins + t[..., None] * dirs
+        return t, points, normals
+
+
+def render_frame(
+    scene: BoxRoomScene,
+    pose: np.ndarray,
+    intr: CameraIntrinsics,
+    res: FrameResolution,
+    depth_noise: float = 0.0,
+    rng: np.random.Generator | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Render (rgb u8 [H,W,3], depth f32 metres [H,W]) from a camera-to-world
+    pose.  Depth is z-depth (along optical axis), matching sensor convention.
+    """
+    W, H = res.width, res.height
+    u = np.arange(W, dtype=np.float64)
+    v = np.arange(H, dtype=np.float64)
+    uu, vv = np.meshgrid(u, v)
+    # camera-frame ray directions with unit z
+    rays_cam = np.stack(
+        [(uu - intr.cx) / intr.fx, (vv - intr.cy) / intr.fy, np.ones_like(uu)], axis=-1
+    )
+    R, t = pose[:3, :3], pose[:3, 3]
+    dirs = rays_cam @ R.T
+    origins = np.broadcast_to(t, dirs.shape)
+    tt, points, _ = scene.raycast(origins, dirs)
+    depth = tt.astype(np.float32)  # rays have unit z in camera frame => t == z-depth
+    rgb = (_texture(points) * 255.0).astype(np.uint8)
+    if depth_noise > 0:
+        rng = rng or np.random.default_rng(0)
+        depth = depth + rng.normal(0.0, depth_noise, depth.shape).astype(np.float32)
+    return rgb, depth
+
+
+def orbit_trajectory(num_frames: int, radius: float = 0.4, max_angle: float = 0.35) -> List[np.ndarray]:
+    """Smooth looping camera trajectory inside the room (returns camera-to-world
+    4x4 poses).  Covers translation on all axes + rotation on all axes so that
+    every DoF of the tracker is exercised."""
+    poses = []
+    for i in range(num_frames):
+        s = i / max(num_frames - 1, 1)
+        a = 2.0 * np.pi * s
+        pos = np.array(
+            [radius * np.sin(a), 0.15 * np.sin(2 * a), radius * (np.cos(a) - 1.0)]
+        )
+        R = _rotation_xyz(
+            0.3 * max_angle * np.sin(a), max_angle * np.sin(a), 0.2 * max_angle * np.cos(2 * a)
+        )
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = pos
+        poses.append(T)
+    return poses
+
+
+class SyntheticSequence:
+    """LogReader-equivalent (reference `GUI/src/Tools/LogReader.h:21-92`) that
+    renders frames on demand from an analytic scene."""
+
+    def __init__(
+        self,
+        camera: CameraConfig | None = None,
+        num_frames: int = 30,
+        depth_noise: float = 0.0,
+        half: Tuple[float, float, float] = (2.0, 1.6, 2.4),
+        radius: float = 0.4,
+        max_angle: float = 0.35,
+    ):
+        if camera is None:
+            res = FrameResolution(160, 120)
+            camera = CameraConfig(res, CameraIntrinsics(132.0, 132.0, 79.5, 59.5), "synth")
+        self.camera = camera
+        self.scene = BoxRoomScene(half)
+        self.poses = orbit_trajectory(num_frames, radius=radius, max_angle=max_angle)
+        self.depth_noise = depth_noise
+        self._i = 0
+
+    def __len__(self) -> int:
+        return len(self.poses)
+
+    def has_more(self) -> bool:
+        return self._i < len(self.poses)
+
+    def rewind(self) -> None:
+        self._i = 0
+
+    def get_next(self):
+        rgb, depth = self.frame(self._i)
+        ts = self._i
+        self._i += 1
+        return rgb, depth, ts
+
+    def frame(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        rng = np.random.default_rng(1234 + i)
+        return render_frame(
+            self.scene,
+            self.poses[i],
+            self.camera.intrinsics,
+            self.camera.resolution,
+            self.depth_noise,
+            rng,
+        )
+
+    def gt_pose(self, i: int) -> np.ndarray:
+        return self.poses[i]

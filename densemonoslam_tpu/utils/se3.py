@@ -1,0 +1,145 @@
+"""SO(3)/SE(3) Lie-group utilities in JAX.
+
+Replaces the reference's `Core/src/Utils/OdometryProvider.h` (rodrigues +
+`computeUpdateSE3`) and scattered Eigen pose math.  All functions are pure,
+jittable, f32-friendly (small-angle Taylor branches chosen with `jnp.where`
+so they are compilation-safe), and batched via `vmap` where needed.
+
+Conventions:
+- a pose is a 4x4 camera-to-world matrix ``T`` (column-vector convention,
+  ``p_world = T @ [p_cam, 1]``) — matching the reference's `currPose`
+  (`Core/src/ElasticFusion.cpp`), where surfels are stored in world frame.
+- a twist is ``xi = (omega[3], v[3])`` with update ``T <- exp(xi) @ T``
+  applied on the left, like the reference's GN update
+  (`RGBDOdometry.cpp:573-585`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+def hat(w: jnp.ndarray) -> jnp.ndarray:
+    """Skew-symmetric matrix of a 3-vector: hat(w) @ x == cross(w, x)."""
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    zeros = jnp.zeros_like(wx)
+    return jnp.stack(
+        [
+            jnp.stack([zeros, -wz, wy], axis=-1),
+            jnp.stack([wz, zeros, -wx], axis=-1),
+            jnp.stack([-wy, wx, zeros], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues' formula exp: R^3 -> SO(3), with Taylor fallback near 0."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(theta2 + _EPS * _EPS)
+    # sin(t)/t and (1-cos(t))/t^2 with series fallbacks
+    small = theta2 < 1e-8
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    W = hat(w)
+    eye = jnp.eye(3, dtype=w.dtype)
+    return eye + a[..., None, None] * W + b[..., None, None] * (W @ W)
+
+
+def so3_log(R: jnp.ndarray) -> jnp.ndarray:
+    """Log map SO(3) -> R^3 (rotation vector)."""
+    trace = jnp.trace(R)
+    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_theta)
+    w_hat = jnp.stack(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]], axis=-1
+    )
+    small = theta < 1e-4
+    scale = jnp.where(small, 0.5 + theta * theta / 12.0, theta / (2.0 * jnp.sin(theta) + _EPS))
+    return scale * w_hat
+
+
+def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
+    """exp: R^6 (omega, v) -> SE(3) 4x4 matrix."""
+    w, v = xi[..., :3], xi[..., 3:]
+    theta2 = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(theta2 + _EPS * _EPS)
+    small = theta2 < 1e-8
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - a) / theta2)
+    W = hat(w)
+    W2 = W @ W
+    eye = jnp.eye(3, dtype=xi.dtype)
+    R = eye + a[..., None, None] * W + b[..., None, None] * W2
+    V = eye + b[..., None, None] * W + c[..., None, None] * W2
+    t = jnp.einsum("...ij,...j->...i", V, v)
+    top = jnp.concatenate([R, t[..., None]], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], dtype=xi.dtype), top.shape[:-2] + (1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def se3_log(T: jnp.ndarray) -> jnp.ndarray:
+    """Log map SE(3) -> R^6 (omega, v)."""
+    R, t = T[:3, :3], T[:3, 3]
+    w = so3_log(R)
+    theta2 = jnp.sum(w * w)
+    theta = jnp.sqrt(theta2 + _EPS * _EPS)
+    small = theta2 < 1e-8
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    W = hat(w)
+    # V^{-1} = I - 0.5 W + (1/theta^2)(1 - a/(2b)) W^2
+    coef = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0, (1.0 - a / (2.0 * b)) / theta2)
+    Vinv = jnp.eye(3, dtype=T.dtype) - 0.5 * W + coef * (W @ W)
+    v = Vinv @ t
+    return jnp.concatenate([w, v], axis=-1)
+
+
+def se3_inverse(T: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of a rigid transform without a general 4x4 inverse."""
+    R, t = T[..., :3, :3], T[..., :3, 3]
+    Rt = jnp.swapaxes(R, -1, -2)
+    ti = -jnp.einsum("...ij,...j->...i", Rt, t)
+    top = jnp.concatenate([Rt, ti[..., None]], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], dtype=T.dtype), top.shape[:-2] + (1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def transform_points(T: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Apply a 4x4 rigid transform to points [..., 3]."""
+    return jnp.einsum("ij,...j->...i", T[:3, :3], p) + T[:3, 3]
+
+
+def rotate_vectors(T: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """Apply only the rotation of a 4x4 transform to vectors [..., 3]."""
+    return jnp.einsum("ij,...j->...i", T[:3, :3], n)
+
+
+def apply_update(T: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
+    """Left-multiplicative GN update ``T <- exp(xi) @ T`` (the reference
+    composes `rgbOdom` increments the same way, `RGBDOdometry.cpp:573-585`)."""
+    return se3_exp(xi) @ T
+
+
+def orthonormalise(R: jnp.ndarray) -> jnp.ndarray:
+    """Project a near-rotation onto SO(3) via SVD (reference uses Eigen SVD in
+    `DeformationGraph::applyGraphToPoses`, `DeformationGraph.cpp:102-131`)."""
+    u, _, vt = jnp.linalg.svd(R)
+    det = jnp.linalg.det(u @ vt)
+    d = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    return (u * d[..., None, :]) @ vt
+
+
+def pose_distance(Ta: jnp.ndarray, Tb: jnp.ndarray) -> jnp.ndarray:
+    """(rotation angle, translation distance) between two poses."""
+    dT = se3_inverse(Ta) @ Tb
+    w = so3_log(dT[:3, :3])
+    return jnp.linalg.norm(w), jnp.linalg.norm(dT[:3, 3])
