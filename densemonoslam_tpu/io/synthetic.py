@@ -40,7 +40,10 @@ def _texture(p: np.ndarray) -> np.ndarray:
     g = 0.5 + 0.25 * np.cos(2.9 * y + 0.7) * np.sin(3.7 * z) + 0.15 * np.sin(4.3 * x + 2.0)
     b = 0.5 + 0.25 * np.sin(2.1 * z + 2.9) * np.cos(4.1 * x) + 0.15 * np.cos(3.3 * y + 1.1)
     # high-frequency detail so small warps change intensity measurably
-    d = 0.08 * np.sin(11.0 * x) * np.sin(13.0 * y) * np.sin(9.0 * z)
+    d = (
+        0.15 * np.sin(11.0 * x) * np.sin(13.0 * y) * np.sin(9.0 * z)
+        + 0.10 * np.sin(7.3 * x + 2.1 * y) * np.cos(6.1 * z)
+    )
     return np.clip(np.stack([r + d, g + d, b + d], axis=-1), 0.0, 1.0)
 
 

@@ -1,0 +1,258 @@
+"""Gauss-Newton normal-equation builders for dense tracking.
+
+TPU-native replacement for the reference's CUDA reduction kernels
+(`Core/src/Cuda/reduce.cu`: `ICPReduction`/`icpStep`, `RGBReduction`/`rgbStep`,
+`SO3Reduction`/`so3Step`, `RGBResidual`/`computeRgbResidual`; accumulator
+layout `JtJJtrSE3` in `Cuda/types.cuh:117-168`).
+
+Design: instead of warp-shuffle tree reductions of 27 upper-triangle products,
+each pixel contributes one masked row ``M[p] = [J_p (6) | r_p | m_p]`` and the
+whole normal-equation bundle is the Gram matrix ``G = M^T M`` — a single
+``(P×8)^T (P×8)`` f32 matmul that XLA tiles onto the MXU and fuses the row
+construction into.  ``G`` then contains:
+
+- ``G[:6,:6]`` = JtJ,
+- ``G[:6, 6]`` = -Jtb  (sign: we solve JtJ xi = -Jtr),
+- ``G[6, 6]``  = sum of squared residuals,
+- ``G[7, 7]``  = inlier count (mask column, m in {0,1}).
+
+Coordinate convention: tracking estimates the relative transform ``A``
+(current-camera -> reference/model-camera) with model maps stored in the
+reference camera frame, so all arithmetic stays in small camera-local
+coordinates (good f32 conditioning; the reference works in analogous
+view-local frames).  The GN update is left-multiplicative: ``A <- exp(xi) A``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from densemonoslam_tpu.config import CameraIntrinsics
+from densemonoslam_tpu.ops import geometry
+from densemonoslam_tpu.utils import se3
+
+# Association gates — same values as the reference ICP kernel
+# (`reduce.cu` ICPReduction: distThres 0.10 m, angleThres sin(20 deg)).
+ICP_DIST_THRESH = 0.10
+ICP_ANGLE_SIN_THRESH = 0.34202  # sin(20 degrees)
+RGB_MIN_GRAD = 1.0  # intensity gradient magnitude gate, [0,255] units
+
+
+class GramStats(NamedTuple):
+    """Unpacked Gram-matrix results for one GN step."""
+
+    JtJ: jnp.ndarray  # [6,6]
+    Jtr: jnp.ndarray  # [6]
+    residual_sq: jnp.ndarray  # scalar, sum r^2
+    inliers: jnp.ndarray  # scalar, number of rows that passed the gates
+
+
+def gram(M: jnp.ndarray) -> jnp.ndarray:
+    """[P, C] masked rows -> [C, C] Gram matrix, f32 accumulation on the MXU."""
+    return jax.lax.dot_general(
+        M, M, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def unpack_gram(G: jnp.ndarray) -> GramStats:
+    return GramStats(
+        JtJ=G[:6, :6], Jtr=G[:6, 6], residual_sq=G[6, 6], inliers=G[7, 7]
+    )
+
+
+def icp_rows(
+    vmap_c: jnp.ndarray,
+    nmap_c: jnp.ndarray,
+    vmap_m: jnp.ndarray,
+    nmap_m: jnp.ndarray,
+    A: jnp.ndarray,
+    intr: CameraIntrinsics,
+    dist_thresh: float = ICP_DIST_THRESH,
+    angle_thresh: float = ICP_ANGLE_SIN_THRESH,
+) -> jnp.ndarray:
+    """Point-to-plane ICP rows with projective data association.
+
+    Mirrors the association + row construction of the reference `ICPReduction`
+    (`reduce.cu:259-343`): transform current vertex into the model frame,
+    project, gather model vertex/normal at that pixel, gate on distance and
+    normal angle, emit row ``[(p x n), n, r, 1]`` for residual
+    ``r = n . (p - v_m)``.
+
+    All maps are [H, W, 3]; returns M [H*W, 8].
+    """
+    H, W, _ = vmap_c.shape
+    valid_c = vmap_c[..., 2] > 0
+    p = se3.transform_points(A, vmap_c.reshape(-1, 3))  # model frame
+    n_c = se3.rotate_vectors(A, nmap_c.reshape(-1, 3))
+    u, v, z = geometry.project(p, intr)
+    inb = geometry.in_bounds(u, v, W, H, margin=1) & (z > 0)
+    ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, W - 1)
+    vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, H - 1)
+    v_m = vmap_m[vi, ui]
+    n_m = nmap_m[vi, ui]
+    valid_m = v_m[..., 2] > 0
+    diff = p - v_m
+    dist = jnp.linalg.norm(diff, axis=-1)
+    sin_angle = jnp.linalg.norm(jnp.cross(n_c, n_m), axis=-1)
+    has_n = jnp.linalg.norm(nmap_c.reshape(-1, 3), axis=-1) > 0.5
+    mask = (
+        valid_c.reshape(-1)
+        & inb
+        & valid_m
+        & has_n
+        & (dist < dist_thresh)
+        & (sin_angle < angle_thresh)
+    )
+    r = jnp.sum(n_m * diff, axis=-1)
+    Jw = jnp.cross(p, n_m)  # d r / d omega
+    m = mask.astype(jnp.float32)
+    M = jnp.concatenate([Jw, n_m, r[:, None], jnp.ones_like(r)[:, None]], axis=-1)
+    return M * m[:, None]
+
+
+def _image_grad_rows(
+    p: jnp.ndarray,
+    gx: jnp.ndarray,
+    gy: jnp.ndarray,
+    intr: CameraIntrinsics,
+) -> jnp.ndarray:
+    """Chain rule through perspective projection: for a point p (camera frame)
+    and image gradient (gx, gy) at its projection, the 3-vector g3 with
+    ``dr = g3 . dp``."""
+    z = jnp.maximum(p[..., 2], 1e-6)
+    a = gx * intr.fx / z
+    b = gy * intr.fy / z
+    c = -(a * p[..., 0] + b * p[..., 1]) / z
+    return jnp.stack([a, b, c], axis=-1)
+
+
+def rgb_rows(
+    vmap_c: jnp.ndarray,
+    intensity_c: jnp.ndarray,
+    intensity_m: jnp.ndarray,
+    grad_mx: jnp.ndarray,
+    grad_my: jnp.ndarray,
+    A: jnp.ndarray,
+    intr: CameraIntrinsics,
+    depth_m: jnp.ndarray | None = None,
+    min_grad: float = RGB_MIN_GRAD,
+    max_residual: float = 255.0,
+    occlusion_thresh: float = 0.15,
+) -> jnp.ndarray:
+    """Photometric rows (reference `RGBReduction`/`rgbStep`,
+    `reduce.cu:641-685`; residual+gradient gating as in `computeRgbResidual`,
+    `reduce.cu:863-1050`).
+
+    Forward-compositional: warp each valid current pixel into the model view,
+    sample model intensity and its Sobel gradients bilinearly, emit row
+    ``[(p x g3), g3, r, 1]`` for ``r = I_m(pi(A v_c)) - I_c(u)``.
+
+    If `depth_m` ([H,W] model z-depth) is given, pixels whose warped depth
+    disagrees with the model depth by more than `occlusion_thresh` are gated
+    out — these are occlusions/disocclusions whose photometric residual is
+    meaningless (the reference gets the same effect from its per-iteration
+    sigma estimate downweighting the heavy tail).
+    """
+    H, W, _ = vmap_c.shape
+    valid_c = vmap_c[..., 2] > 0
+    p = se3.transform_points(A, vmap_c.reshape(-1, 3))
+    u, v, z = geometry.project(p, intr)
+    inb = geometry.in_bounds(u, v, W, H, margin=1) & (z > 0)
+    i_m = geometry.bilinear_sample(intensity_m, u, v)
+    gx = geometry.bilinear_sample(grad_mx, u, v)
+    gy = geometry.bilinear_sample(grad_my, u, v)
+    r = i_m - intensity_c.reshape(-1)
+    gmag2 = gx * gx + gy * gy
+    mask = (
+        valid_c.reshape(-1)
+        & inb
+        & (gmag2 > min_grad * min_grad)
+        & (jnp.abs(r) < max_residual)
+    )
+    if depth_m is not None:
+        z_m = geometry.nearest_sample(depth_m, u, v)
+        mask = mask & (z_m > 0) & (jnp.abs(z - z_m) < occlusion_thresh)
+    g3 = _image_grad_rows(p, gx, gy, intr)
+    Jw = jnp.cross(p, g3)
+    m = mask.astype(jnp.float32)
+    M = jnp.concatenate([Jw, g3, r[:, None], jnp.ones_like(r)[:, None]], axis=-1)
+    return M * m[:, None]
+
+
+def so3_rows(
+    intensity_c: jnp.ndarray,
+    intensity_m: jnp.ndarray,
+    grad_mx: jnp.ndarray,
+    grad_my: jnp.ndarray,
+    R: jnp.ndarray,
+    intr: CameraIntrinsics,
+    min_grad: float = 0.0,
+    max_residual: float = 255.0,
+) -> jnp.ndarray:
+    """Rotation-only photometric rows for SO(3) pre-alignment (reference
+    `SO3Reduction`/`so3Step`, `reduce.cu:1052-1197`: homography-warp residual
+    between the coarsest pyramid levels).
+
+    Rays have unit z; rotating ray d by R and projecting gives the warp.
+    Rows are [Jw (3), r, 1] padded to 8 columns so the same Gram kernel
+    applies; G[:3,:3]=JtJ, G[:3,3]=Jtb', G[3,3]=r^2 sum, G[7,7]=count.
+    """
+    H, W = intensity_c.shape
+    uu = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(-1)
+    vv = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(-1)
+    d = jnp.stack(
+        [(uu - intr.cx) / intr.fx, (vv - intr.cy) / intr.fy, jnp.ones_like(uu)],
+        axis=-1,
+    )
+    rd = jnp.einsum("ij,pj->pi", R, d)
+    u, v, z = geometry.project(rd, intr)
+    inb = geometry.in_bounds(u, v, W, H, margin=1) & (z > 0)
+    i_m = geometry.bilinear_sample(intensity_m, u, v)
+    gx = geometry.bilinear_sample(grad_mx, u, v)
+    gy = geometry.bilinear_sample(grad_my, u, v)
+    r = i_m - intensity_c.reshape(-1)
+    gmag2 = gx * gx + gy * gy
+    mask = inb & (gmag2 >= min_grad * min_grad) & (jnp.abs(r) < max_residual)
+    g3 = _image_grad_rows(rd, gx, gy, intr)
+    Jw = jnp.cross(rd, g3)
+    m = mask.astype(jnp.float32)
+    zeros = jnp.zeros_like(r)[:, None]
+    M = jnp.concatenate(
+        [Jw, r[:, None], zeros, zeros, zeros, jnp.ones_like(r)[:, None]], axis=-1
+    )
+    return M * m[:, None]
+
+
+def solve_se3(
+    JtJ: jnp.ndarray, Jtr: jnp.ndarray, damping: float = 0.0
+) -> jnp.ndarray:
+    """Solve ``JtJ xi = -Jtr`` for the twist update (the reference downloads
+    29 floats and runs Eigen LDLT on the host, `reduce.cu:412-427` +
+    `RGBDOdometry.cpp:549-567`; we stay on device — a 6x6 solve is trivial)."""
+    Areg = JtJ + damping * jnp.eye(6, dtype=JtJ.dtype)
+    return jnp.linalg.solve(Areg, -Jtr)
+
+
+def solve_so3(JtJ3: jnp.ndarray, Jtr3: jnp.ndarray, damping: float = 0.0) -> jnp.ndarray:
+    Areg = JtJ3 + damping * jnp.eye(3, dtype=JtJ3.dtype)
+    return jnp.linalg.solve(Areg, -Jtr3)
+
+
+def combined_system(
+    M_icp: jnp.ndarray, M_rgb: jnp.ndarray, icp_weight: float, rgb_scale: float = 1.0
+) -> Tuple[GramStats, GramStats, jnp.ndarray, jnp.ndarray]:
+    """Joint ICP+RGB normal equations (reference `RGBDOdometry.cpp:549-555`:
+    ``A = A_rgbd + w^2 A_icp``).  We scale the ICP *rows* by w, which yields
+    the self-consistent least-squares combination ``A_rgb + w^2 A_icp`` /
+    ``b_rgb + w^2 b_icp`` (the reference's ``w * b_icp`` under-weights the ICP
+    gradient relative to its own Hessian by 1/w; we keep the consistent form
+    and expose w as `icp_weight`).  `rgb_scale` normalises intensity units."""
+    G_icp = unpack_gram(gram(M_icp))
+    G_rgb = unpack_gram(gram(M_rgb))
+    w2 = icp_weight * icp_weight
+    JtJ = rgb_scale * G_rgb.JtJ + w2 * G_icp.JtJ
+    Jtr = rgb_scale * G_rgb.Jtr + w2 * G_icp.Jtr
+    return G_icp, G_rgb, JtJ, Jtr

@@ -1,0 +1,247 @@
+"""Dense frame-to-model RGB-D odometry: pyramidal joint ICP + photometric
+Gauss-Newton with optional SO(3) pre-alignment.
+
+TPU-native equivalent of the reference `RGBDOdometry`
+(`Core/src/Utils/RGBDOdometry.cpp:268-605`): same structure — SO3 rotation
+pre-alignment on the coarsest level (<=10 iters with divergence rollback,
+:297-385), then coarse-to-fine Gauss-Newton with per-level iteration budgets
+{10, 5, 4} ({3,0,0} fast, {50,50,50} inter-map, :387-389), each iteration
+combining ICP and RGB normal equations (:479-555) and applying an SE(3)
+exponential update (:573-585), with the ||dt|| > 0.3 m failure guard
+(:589-593).
+
+Differences by design (TPU-first):
+- normal equations are built by MXU Gram matmuls (`ops.reductions`), not CUDA
+  tree reductions, and the 6x6 solve stays on device;
+- the whole multi-level loop is one jitted function per image shape; only the
+  final pose/stats cross the host boundary;
+- tracking estimates the relative transform A (current camera -> model
+  camera) in camera-local coordinates for f32 conditioning.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from densemonoslam_tpu.config import CameraIntrinsics, EngineConfig
+from densemonoslam_tpu.ops import geometry, preprocess, reductions
+from densemonoslam_tpu.utils import se3
+
+# Reference iteration budgets (`RGBDOdometry.cpp:387-389`), finest-first.
+ITERATIONS_DEFAULT = (4, 5, 10)
+ITERATIONS_FAST = (3, 0, 0)
+ITERATIONS_INTERMAP = (50, 50, 50)
+SO3_ITERATIONS = 10
+TRANSLATION_FAILURE_THRESH = 0.3  # metres (`RGBDOdometry.cpp:589-593`)
+
+# Intensity residuals are in [0,255] units while ICP residuals are metres; the
+# reference folds this into its sobelScale/sigma machinery — we use a fixed
+# photometric scale so both terms are comparable before icp_weight is applied.
+RGB_UNIT_SCALE = 1.0 / (255.0 * 255.0)
+
+
+class FramePyramid(NamedTuple):
+    """Per-level image data for one frame (all tuples are coarse..fine
+    indexed fine-to-coarse: index 0 = full resolution)."""
+
+    intensity: Tuple[jnp.ndarray, ...]
+    vmap: Tuple[jnp.ndarray, ...]
+    nmap: Tuple[jnp.ndarray, ...]
+    grad_x: Tuple[jnp.ndarray, ...]
+    grad_y: Tuple[jnp.ndarray, ...]
+
+
+class TrackResult(NamedTuple):
+    A: jnp.ndarray  # [4,4] current-camera -> model-camera
+    icp_error: jnp.ndarray  # mean squared point-to-plane residual
+    icp_inliers: jnp.ndarray  # inlier count at the finest level
+    rgb_error: jnp.ndarray
+    rgb_inliers: jnp.ndarray
+    JtJ: jnp.ndarray  # [6,6] final combined system (covariance = inv)
+    failed: jnp.ndarray  # bool: update exceeded the translation guard
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "intr"))
+def build_frame_pyramid(
+    rgb: jnp.ndarray,
+    depth_metric: jnp.ndarray,
+    intr: CameraIntrinsics,
+    levels: int = 3,
+) -> FramePyramid:
+    """rgb u8/f32 [H,W,3] + metric depth [H,W] -> FramePyramid.
+
+    Replaces the reference's `initICP`/`initRGB`/`populateRGBDData`
+    (`RGBDOdometry.cpp`): intensity + Gaussian pyramid, depth-aware depth
+    pyramid, vertex/normal maps and Sobel derivatives per level.
+    """
+    intensity = preprocess.build_pyramid(
+        preprocess.rgb_to_intensity(rgb), levels, depth=False
+    )
+    depths = preprocess.build_pyramid(depth_metric, levels, depth=True)
+    vmaps, nmaps, gxs, gys = [], [], [], []
+    for lv in range(levels):
+        vm = geometry.backproject(depths[lv], intr.scaled(lv))
+        vmaps.append(vm)
+        nmaps.append(geometry.normal_map(vm))
+        gx, gy = preprocess.sobel_gradients(intensity[lv])
+        gxs.append(gx)
+        gys.append(gy)
+    return FramePyramid(
+        intensity=tuple(intensity),
+        vmap=tuple(vmaps),
+        nmap=tuple(nmaps),
+        grad_x=tuple(gxs),
+        grad_y=tuple(gys),
+    )
+
+
+def _so3_prealign(
+    model: FramePyramid, frame: FramePyramid, intr_top: CameraIntrinsics
+) -> jnp.ndarray:
+    """Rotation-only photometric alignment on the coarsest level with
+    divergence rollback (reference `RGBDOdometry.cpp:297-385`)."""
+    lv = len(frame.intensity) - 1
+    i_c, i_m = frame.intensity[lv], model.intensity[lv]
+    gx, gy = model.grad_x[lv], model.grad_y[lv]
+
+    def body(_, carry):
+        R_best, err_best, R = carry
+        M = reductions.so3_rows(i_c, i_m, gx, gy, R, intr_top)
+        G = reductions.gram(M)
+        JtJ3, Jtr3 = G[:3, :3], G[:3, 3]
+        count = jnp.maximum(G[7, 7], 1.0)
+        err = G[3, 3] / count
+        dw = reductions.solve_so3(JtJ3, Jtr3, damping=1e-4)
+        ok = (G[7, 7] > 50) & jnp.all(jnp.isfinite(dw))
+        R_new = jnp.where(ok, se3.so3_exp(dw) @ R, R)
+        improved = err < err_best
+        R_best = jnp.where(improved, R, R_best)
+        err_best = jnp.minimum(err, err_best)
+        # diverged: fall back to the best-so-far rotation
+        R_next = jnp.where(improved, R_new, R_best)
+        return R_best, err_best, R_next
+
+    eye = jnp.eye(3, dtype=jnp.float32)
+    R_best, _, R = jax.lax.fori_loop(
+        0, SO3_ITERATIONS, body, (eye, jnp.inf, eye)
+    )
+    return R
+
+
+def _gn_level(
+    model: FramePyramid,
+    frame: FramePyramid,
+    A0: jnp.ndarray,
+    level: int,
+    iterations: int,
+    intr: CameraIntrinsics,
+    icp_weight: float,
+    rgb_only: bool,
+):
+    """Gauss-Newton iterations at one pyramid level; returns (A, stats)."""
+    i_c = frame.intensity[level]
+    v_c, n_c = frame.vmap[level], frame.nmap[level]
+    i_m = model.intensity[level]
+    v_m, n_m = model.vmap[level], model.nmap[level]
+    gx, gy = model.grad_x[level], model.grad_y[level]
+    intr_l = intr.scaled(level)
+
+    def body(_, carry):
+        A, _stats = carry
+        M_icp = reductions.icp_rows(v_c, n_c, v_m, n_m, A, intr_l)
+        M_rgb = reductions.rgb_rows(
+            v_c, i_c, i_m, gx, gy, A, intr_l, depth_m=v_m[..., 2]
+        )
+        G_icp, G_rgb, JtJ, Jtr = reductions.combined_system(
+            M_icp, M_rgb, icp_weight=0.0 if rgb_only else icp_weight,
+            rgb_scale=RGB_UNIT_SCALE,
+        )
+        xi = reductions.solve_se3(JtJ, Jtr, damping=1e-8)
+        ok = (
+            jnp.all(jnp.isfinite(xi))
+            & ((G_icp.inliers > 10) | (G_rgb.inliers > 10))
+        )
+        A_new = jnp.where(ok, se3.apply_update(A, xi), A)
+        stats = (
+            G_icp.residual_sq / jnp.maximum(G_icp.inliers, 1.0),
+            G_icp.inliers,
+            G_rgb.residual_sq / jnp.maximum(G_rgb.inliers, 1.0),
+            G_rgb.inliers,
+            JtJ,
+        )
+        return A_new, stats
+
+    init_stats = (
+        jnp.array(jnp.inf, jnp.float32),
+        jnp.array(0.0, jnp.float32),
+        jnp.array(jnp.inf, jnp.float32),
+        jnp.array(0.0, jnp.float32),
+        jnp.eye(6, dtype=jnp.float32),
+    )
+    return jax.lax.fori_loop(0, iterations, body, (A0, init_stats))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("intr", "iterations", "icp_weight", "rgb_only", "pyramid", "use_so3"),
+)
+def track(
+    model: FramePyramid,
+    frame: FramePyramid,
+    A_init: jnp.ndarray,
+    intr: CameraIntrinsics,
+    iterations: Tuple[int, ...] = ITERATIONS_DEFAULT,
+    icp_weight: float = 10.0,
+    rgb_only: bool = False,
+    pyramid: bool = True,
+    use_so3: bool = True,
+) -> TrackResult:
+    """Full multi-level tracking (reference
+    `RGBDOdometry::getIncrementalTransformation`).
+
+    `model` holds the predicted maps rendered at the model/reference pose (in
+    that camera's frame); returns A such that
+    ``T_curr = T_model_view @ A``.
+    """
+    levels = len(frame.intensity)
+    A = A_init
+    if use_so3 and levels > 1:
+        R = _so3_prealign(model, frame, intr.scaled(levels - 1))
+        A = A.at[:3, :3].set(R @ A[:3, :3])
+
+    stats = None
+    for level in range(levels - 1, -1, -1):
+        iters = iterations[level] if level < len(iterations) else 0
+        if iters == 0 or (not pyramid and level != 0):
+            continue
+        A, stats = _gn_level(
+            model, frame, A, level, iters, intr, icp_weight, rgb_only
+        )
+
+    icp_err, icp_inl, rgb_err, rgb_inl, JtJ = stats
+    # failure guard (`RGBDOdometry.cpp:589-593`)
+    dt = jnp.linalg.norm(A[:3, 3] - A_init[:3, 3])
+    failed = (dt > TRANSLATION_FAILURE_THRESH) | ~jnp.all(jnp.isfinite(A))
+    A_out = jnp.where(failed, A_init, A)
+    return TrackResult(
+        A=A_out,
+        icp_error=icp_err,
+        icp_inliers=icp_inl,
+        rgb_error=rgb_err,
+        rgb_inliers=rgb_inl,
+        JtJ=JtJ,
+        failed=failed,
+    )
+
+
+def covariance(result: TrackResult) -> jnp.ndarray:
+    """Pose covariance = inverse of the final combined JtJ (reference
+    `getCovariance()`, `RGBDOdometry.cpp:607-610`); used by the
+    relocalisation and loop-closure acceptance gates."""
+    return jnp.linalg.inv(
+        result.JtJ + 1e-12 * jnp.eye(6, dtype=result.JtJ.dtype)
+    )
