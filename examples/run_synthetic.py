@@ -35,6 +35,8 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
 
+    from densemonoslam_tpu.config import EngineConfig
+    from densemonoslam_tpu.engine import Engine
     from densemonoslam_tpu.eval import ate_rmse
     from densemonoslam_tpu.io import SyntheticSequence, save_freiburg
     from densemonoslam_tpu.tracking import odometry
@@ -42,40 +44,65 @@ def main() -> int:
 
     seq = SyntheticSequence(num_frames=args.frames, radius=0.35, max_angle=0.3)
     intr = seq.camera.intrinsics
-    sw = Stopwatch()
+    gt = [seq.gt_pose(i) for i in range(args.frames)]
 
-    poses = [seq.gt_pose(0)]
-    tss = [0.0]
-    prev = None
+    if args.odometry_only:
+        sw = Stopwatch()
+        poses = [seq.gt_pose(0)]
+        tss = [0.0]
+        prev = None
+        t_start = None
+        for i in range(args.frames):
+            rgb, depth = seq.frame(i)
+            with sw.section("pyramid"):
+                cur = odometry.build_frame_pyramid(
+                    jnp.asarray(rgb), jnp.asarray(depth), intr, 3
+                )
+                jax.block_until_ready(cur.vmap[0])
+            if prev is not None:
+                with sw.section("track"):
+                    res = odometry.track(prev, cur, jnp.eye(4, dtype=jnp.float32), intr)
+                    jax.block_until_ready(res.A)
+                poses.append(poses[-1] @ np.asarray(res.A))
+                tss.append(float(i))
+            prev = cur
+            if i == 1:
+                t_start = time.perf_counter()
+        fps = (args.frames - 2) / (time.perf_counter() - t_start)
+        err = ate_rmse(poses, gt)
+        print(f"[odometry] frames: {args.frames}  ATE: {err*1000:.2f} mm  fps: {fps:.1f}")
+        print("stage means (ms):", {k: round(v, 2) for k, v in sw.summary().items()})
+        return 0 if err < 0.02 else 1
+
+    # ---- full SLAM engine -------------------------------------------------
+    cfg = EngineConfig(max_surfels=1 << 18, depth_cutoff=8.0, depth_factor=1.0)
+    eng = Engine(seq.camera, cfg)
+    eng.frontend("cam0")
+    eng.frontends["cam0"].pose = seq.gt_pose(0).astype(np.float32)
     t_start = None
     for i in range(args.frames):
         rgb, depth = seq.frame(i)
-        with sw.section("pyramid"):
-            cur = odometry.build_frame_pyramid(jnp.asarray(rgb), jnp.asarray(depth), intr, 3)
-            jax.block_until_ready(cur.vmap[0])
-        if prev is not None:
-            with sw.section("track"):
-                res = odometry.track(prev, cur, jnp.eye(4, dtype=jnp.float32), intr)
-                jax.block_until_ready(res.A)
-            if bool(res.failed):
-                print(f"frame {i}: TRACKING FAILED")
-            poses.append(poses[-1] @ np.asarray(res.A))
-            tss.append(float(i))
-        prev = cur
+        info = eng.process_frame("cam0", rgb, depth, float(i))
+        if info["tracking_ok"] != 1.0:
+            print(f"frame {i}: TRACKING FAILED")
         if i == 1:
-            t_start = time.perf_counter()  # exclude compile time
-
-    n_timed = args.frames - 2
-    fps = n_timed / (time.perf_counter() - t_start) if t_start and n_timed > 0 else 0.0
-    gt = [seq.gt_pose(i) for i in range(args.frames)]
-    err = ate_rmse(poses, gt)
-    print(f"frames: {args.frames}  ATE RMSE: {err*1000:.2f} mm  post-compile fps: {fps:.1f}")
-    print("stage means (ms):", {k: round(v, 2) for k, v in sw.summary().items()})
+            t_start = time.perf_counter()
+    fps = (args.frames - 2) / (time.perf_counter() - t_start)
+    est = [p for _, p in eng.frontends["cam0"].trajectory]
+    err = ate_rmse(est, gt)
+    print(
+        f"[slam] frames: {args.frames}  ATE: {err*1000:.2f} mm  fps: {fps:.1f}  "
+        f"surfels: {eng.surfel_count('cam0')}"
+    )
+    print("stage means (ms):", {k: round(v, 2) for k, v in eng.timer.summary().items()})
 
     if args.out:
         os.makedirs(args.out, exist_ok=True)
-        save_freiburg(os.path.join(args.out, "synthetic.freiburg"), tss, poses)
-        print(f"wrote {args.out}/synthetic.freiburg")
+        eng.save_trajectory("cam0", os.path.join(args.out, "synthetic.freiburg"))
+        n = eng.save_ply("cam0", os.path.join(args.out, "map.ply"), stable_only=False)
+        eng.save_times(os.path.join(args.out, "timings.csv"))
+        eng.save_stats("cam0", os.path.join(args.out, "run.stats"))
+        print(f"wrote {args.out}/: trajectory, map.ply ({n} surfels), timings, stats")
     return 0 if err < 0.02 else 1
 
 

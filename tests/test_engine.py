@@ -1,0 +1,120 @@
+"""End-to-end engine tests: full open-loop SLAM on the synthetic sequence —
+the rebuild's equivalent of BASELINE config 1 (TUM fr1/desk frame-to-model +
+fusion, loop closure off)."""
+
+import numpy as np
+import pytest
+
+from densemonoslam_tpu.config import EngineConfig
+from densemonoslam_tpu.engine import Engine
+from densemonoslam_tpu.eval import ate_rmse
+from densemonoslam_tpu.io.synthetic import SyntheticSequence
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return SyntheticSequence(num_frames=40, radius=0.35, max_angle=0.3)
+
+
+def _run_engine(seq, n_frames, cfg=None, use_gt_poses=False):
+    cfg = cfg or EngineConfig(
+        max_surfels=1 << 18, depth_cutoff=8.0, depth_factor=1.0, open_loop=True
+    )
+    eng = Engine(seq.camera, cfg)
+    eng.frontend("cam0")
+    # pose of the first frame anchors the world frame
+    eng.frontends["cam0"].pose = seq.gt_pose(0).astype(np.float32)
+    for i in range(n_frames):
+        rgb, depth = seq.frame(i)
+        in_pose = seq.gt_pose(i).astype(np.float32) if use_gt_poses else None
+        info = eng.process_frame("cam0", rgb, depth, float(i), in_pose=in_pose)
+        assert info["tracking_ok"] == 1.0, f"lost tracking at {i}"
+    return eng
+
+
+def test_engine_slam_synthetic_ate(seq):
+    """Full SLAM (track against the fused model) over 25 frames: ATE must be
+    sub-centimetre on clean synthetic data."""
+    eng = _run_engine(seq, 25)
+    est = [p for _, p in eng.frontends["cam0"].trajectory]
+    gt = [seq.gt_pose(i) for i in range(25)]
+    err = ate_rmse(est, gt)
+    assert err < 0.01, f"ATE {err*1000:.1f} mm"
+    assert eng.surfel_count("cam0") > 10000
+
+
+def test_engine_frame_to_model_beats_frame_to_frame(seq):
+    """Model-based tracking should not be (much) worse than frame-to-frame;
+    on this fixture both are sub-centimetre but the model keeps the map
+    consistent."""
+    eng = _run_engine(seq, 15)
+    est = [p for _, p in eng.frontends["cam0"].trajectory]
+    gt = [seq.gt_pose(i) for i in range(15)]
+    assert ate_rmse(est, gt) < 0.008
+
+
+def test_engine_gt_pose_injection(seq):
+    """Ground-truth pose injection (reference `--poses`) bypasses tracking and
+    must produce a clean map with near-zero trajectory error."""
+    eng = _run_engine(seq, 10, use_gt_poses=True)
+    est = [p for _, p in eng.frontends["cam0"].trajectory]
+    gt = [seq.gt_pose(i) for i in range(10)]
+    assert ate_rmse(est, gt) < 1e-6
+
+
+def test_engine_exports(seq, tmp_path):
+    eng = _run_engine(seq, 8)
+    traj = tmp_path / "traj.freiburg"
+    ply = tmp_path / "map.ply"
+    times = tmp_path / "times.csv"
+    stats = tmp_path / "run.stats"
+    eng.save_trajectory("cam0", str(traj))
+    n = eng.save_ply("cam0", str(ply), stable_only=False)
+    eng.save_times(str(times))
+    eng.save_stats("cam0", str(stats))
+    assert traj.exists() and len(traj.read_text().splitlines()) == 8
+    assert n > 1000
+    from densemonoslam_tpu.io.writers import load_ply
+
+    p, nn, c, r = load_ply(str(ply))
+    assert p.shape[0] == n and np.all(np.isfinite(p))
+    assert "track" in times.read_text()
+    assert len(stats.read_text().splitlines()) == 9  # 8 frames + summary
+
+
+def test_engine_map_quality(seq):
+    """Fused map surfels must lie on the analytic scene geometry even after
+    many frames of fusion."""
+    from densemonoslam_tpu.mapping import surfel_map as sm
+
+    eng = _run_engine(seq, 20)
+    be = eng.maps["cam0"]
+    snap = sm.snapshot(be.map, conf_threshold=0.0)
+    p = snap.positions
+    lo, hi = seq.scene.lo, seq.scene.hi
+    on_wall = np.min(np.minimum(np.abs(p - lo), np.abs(p - hi)), axis=1)
+    on_sphere = np.min(
+        np.abs(
+            np.linalg.norm(p[:, None, :] - seq.scene.sphere_c[None], axis=-1)
+            - seq.scene.sphere_r[None]
+        ),
+        axis=1,
+    )
+    d = np.minimum(on_wall, on_sphere)
+    assert np.percentile(d, 90) < 5e-3, f"p90 surface dist {np.percentile(d, 90)*1000:.1f} mm"
+
+
+def test_engine_multi_frontend_isolated_maps(seq):
+    """Two frontends own independent maps until a merge (reference: each new
+    context gets its own ReferenceFrame)."""
+    cfg = EngineConfig(max_surfels=1 << 17, depth_cutoff=8.0, depth_factor=1.0)
+    eng = Engine(seq.camera, cfg)
+    eng.frontend("camA")
+    eng.frontend("camB")
+    rgb, depth = seq.frame(0)
+    eng.process_frame("camA", rgb, depth, 0.0)
+    rgb, depth = seq.frame(5)
+    eng.process_frame("camB", rgb, depth, 0.0)
+    assert eng.surfel_count("camA") > 0
+    assert eng.surfel_count("camB") > 0
+    assert eng.frontends["camA"].map_name != eng.frontends["camB"].map_name
