@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from densemonoslam_tpu.config import CameraConfig, EngineConfig
-from densemonoslam_tpu.mapping import fillin, fusion
+from densemonoslam_tpu.mapping import fillin, fusion, keyframe as kfmod
 from densemonoslam_tpu.mapping import surfel_map as sm
 from densemonoslam_tpu.ops import geometry, preprocess, splat
 from densemonoslam_tpu.tracking import odometry
@@ -106,6 +106,8 @@ class Frontend:
     stats: SessionStats = dataclasses.field(default_factory=SessionStats)
     last_pyramid: Optional[odometry.FramePyramid] = None
     map_name: str = ""
+    keyframe: Optional[kfmod.KeyFrame] = None
+    num_keyframes: int = 0
 
     def record_pose(self, ts: float) -> None:
         self.trajectory.append((ts, self.pose.copy()))
@@ -262,10 +264,31 @@ class Engine:
                 # is still run for covariance/stats parity
                 fe.pose = np.asarray(in_pose, dtype=np.float32)
 
+        # --------------------------------------------------- NID fuse gate
+        # (reference fuseFrame, ElasticFusion.cpp:639-677): fuse only frames
+        # novel enough w.r.t. the active keyframe; crossing the gate promotes
+        # the frame to new keyframe.
+        do_fuse = True
+        nid = 0.0
+        if cfg.nid_keyframing and fe.keyframe is not None and not first:
+            with self.timer.section("nid"):
+                n_img, n_depth, overlap = kfmod.nid_against_keyframe(
+                    fe.keyframe,
+                    intensity,
+                    vmap_f,
+                    jnp.asarray(fe.pose),
+                    intr,
+                    depth_max=cfg.depth_cutoff,
+                    bins_img=cfg.nid_bins_img,
+                    bins_depth=cfg.nid_bins_depth,
+                )
+            nid = float(kfmod.nid_score(n_img, n_depth, cfg.nid_depth_weight))
+            info["nid"] = nid
+            do_fuse = nid > cfg.nid_threshold or float(overlap) < 0.1
+
         # ------------------------------------------------------------ fusion
         fused = False
-        if tracking_ok and not fe.lost:
-            # NID keyframe gate lands with mapping.nid; open-loop fuses always
+        if tracking_ok and not fe.lost and do_fuse:
             with self.timer.section("fuse"):
                 be.map, fstats = fusion.fuse(
                     be.map,
@@ -294,11 +317,16 @@ class Engine:
             info["culled"] = float(culled)
             if fe.tick % self._compact_interval == self._compact_interval - 1:
                 be.map = sm.compact(be.map)
+            # promote this frame to keyframe (reference: new KeyFrame on fuse)
+            fe.keyframe = kfmod.make_keyframe(
+                jnp.asarray(fe.pose), intensity, depth_m
+            )
+            fe.num_keyframes += 1
 
         fe.last_pyramid = frame_pyr
         fe.record_pose(timestamp)
         fe.stats.record(
-            nid_score=info.get("nid", 0.0),
+            nid_score=nid,
             surfel_count=int(be.map.count),
             fused=fused,
         )

@@ -1,0 +1,302 @@
+"""Embedded deformation graph for non-rigid map correction (loop closure).
+
+TPU-native equivalent of the reference `Deformation` + `DeformationGraph`
+(`Core/src/Deformation.cpp`, `Core/src/DeformationGraph.cpp`): Sumner-style
+embedded deformation over a *time-ordered* node sequence sampled from the
+surfel map (1 node per `sample_rate` surfels, `Deformation.cpp:251-348`),
+k=4 temporal-sequential connectivity (`connectGraphSeq`,
+`DeformationGraph.cpp:252-288`), energy
+
+    E = w_rot * E_rot + w_reg * E_reg + w_con * E_con   (weights {1, 10, 100},
+    `DeformationGraph.h:115-122`)
+
+with 12 variables per node (3x3 A + translation t).
+
+Where the reference builds a sparse Jacobian by hand and factorises with
+CHOLMOD on the CPU (`sparseJacobian`, `CholeskyDecomp.cpp`), we solve the
+normal equations matrix-free on device: Gauss-Newton with conjugate gradient,
+where ``(JtJ + lambda I) v`` is computed as ``vjp(jvp(residual))`` — two
+autodiff passes through the batched energy, no materialised Jacobian.
+Vertices/poses are blended over the k nearest of a 20-node temporal look-back
+window (`DeformationGraph.cpp:133-250`), exactly as the reference's
+`copy_unstable.vert` does on the GPU for map surfels.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from densemonoslam_tpu.mapping import surfel_map as sm
+from densemonoslam_tpu.utils import se3
+
+W_ROT = 1.0
+W_REG = 10.0
+W_CON = 100.0
+GN_ITERS = 3
+CG_ITERS = 64
+K_NEIGHBOURS = 4
+LOOKBACK = 20  # temporal candidate window for blending weights
+DAMPING = 1e-4
+
+
+class DeformGraph(NamedTuple):
+    pos: jnp.ndarray  # [K, 3] node positions (world)
+    time: jnp.ndarray  # [K] node timestamps (sorted ascending)
+    valid: jnp.ndarray  # [K] bool
+    A: jnp.ndarray  # [K, 3, 3] per-node affine (identity at rest)
+    t: jnp.ndarray  # [K, 3] per-node translation
+
+    @property
+    def n_nodes(self) -> int:
+        return self.pos.shape[0]
+
+
+class Constraint(NamedTuple):
+    """Point constraints: deform src (+its timestamp) onto dst
+    (reference `Deformation::Constraint`)."""
+
+    src: jnp.ndarray  # [C, 3]
+    dst: jnp.ndarray  # [C, 3]
+    time: jnp.ndarray  # [C]
+    valid: jnp.ndarray  # [C] bool
+    pinned: jnp.ndarray  # [C] bool: dst side also constrained to not move
+
+
+@functools.partial(jax.jit, static_argnames=("max_nodes", "sample_rate"))
+def sample_graph(
+    data: jnp.ndarray, count: jnp.ndarray, max_nodes: int, sample_rate: int
+) -> DeformGraph:
+    """Sample every `sample_rate`-th allocated surfel as a node (reference
+    `sample.vert`/`sample.geom`: every 5000th stable surfel; append order is
+    temporal, so the node sequence is time-ordered)."""
+    idx = jnp.arange(max_nodes) * sample_rate
+    ok = (idx < count) & (data[jnp.minimum(idx, data.shape[0] - 2), sm.CONF] > 0)
+    idx = jnp.minimum(idx, data.shape[0] - 2)
+    pos = data[idx][:, sm.POS]
+    time = data[idx][:, sm.INIT_TIME]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (max_nodes, 3, 3))
+    return DeformGraph(
+        pos=jnp.where(ok[:, None], pos, 0.0),
+        time=jnp.where(ok, time, jnp.inf),  # invalid nodes sort last
+        valid=ok,
+        A=eye,
+        t=jnp.zeros((max_nodes, 3), jnp.float32),
+    )
+
+
+def _blend_weights(
+    graph: DeformGraph, points: jnp.ndarray, times: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """k-NN blending weights over the temporal look-back window.
+
+    Returns (indices [P, k], weights [P, k]); weights are zero where the graph
+    has no valid support.  Mirrors `DeformationGraph.cpp:133-250` /
+    `copy_unstable.vert:150-320`: binary search into the time-sorted node
+    array, look back LOOKBACK nodes, weight the k nearest by
+    (1 - d/dmax)^2, normalised."""
+    P = points.shape[0]
+    n_valid = jnp.sum(graph.valid.astype(jnp.int32))
+    # insertion point of each point's timestamp in the node time sequence
+    ins = jnp.searchsorted(graph.time, times, side="right")
+    # candidate window [ins - LOOKBACK, ins) clamped into the valid range;
+    # if the window would be empty (early times) look forward instead
+    start = jnp.clip(ins - LOOKBACK, 0, jnp.maximum(n_valid - LOOKBACK, 0))
+    offs = jnp.arange(LOOKBACK)
+    cand = start[:, None] + offs[None, :]  # [P, LOOKBACK]
+    cand = jnp.clip(cand, 0, graph.n_nodes - 1)
+    cand_ok = (cand < n_valid) & graph.valid[cand]
+    g = graph.pos[cand]  # [P, L, 3]
+    d = jnp.linalg.norm(g - points[:, None, :], axis=-1)
+    d = jnp.where(cand_ok, d, jnp.inf)
+    # k+1 nearest for the dmax normaliser (Sumner's weights)
+    neg, top_idx = jax.lax.top_k(-d, K_NEIGHBOURS + 1)
+    dk = -neg  # [P, k+1] ascending distances
+    dmax = jnp.maximum(dk[:, -1:], 1e-6)
+    w = jnp.square(1.0 - dk[:, :-1] / dmax)
+    w = jnp.where(jnp.isfinite(dk[:, :-1]), w, 0.0)
+    wsum = jnp.sum(w, axis=-1, keepdims=True)
+    has = wsum[:, 0] > 1e-9
+    w = jnp.where(has[:, None], w / jnp.maximum(wsum, 1e-9), 0.0)
+    nn = jnp.take_along_axis(cand, top_idx[:, :-1], axis=1)
+    return nn, w
+
+
+def deform_points(
+    graph: DeformGraph,
+    points: jnp.ndarray,
+    times: jnp.ndarray,
+    normals: jnp.ndarray | None = None,
+):
+    """phi(p) = sum_k w_k [A_k (p - g_k) + g_k + t_k]; points with no valid
+    support pass through unchanged.  Optionally co-rotates normals."""
+    nn, w = _blend_weights(graph, points, times)
+    g = graph.pos[nn]  # [P, k, 3]
+    A = graph.A[nn]  # [P, k, 3, 3]
+    t = graph.t[nn]
+    local = points[:, None, :] - g
+    moved = jnp.einsum("pkij,pkj->pki", A, local) + g + t
+    out = jnp.sum(w[..., None] * moved, axis=1)
+    has = jnp.sum(w, axis=-1) > 1e-9
+    out = jnp.where(has[:, None], out, points)
+    if normals is None:
+        return out
+    n_rot = jnp.einsum("pkij,pj->pki", A, normals)
+    n_out = jnp.sum(w[..., None] * n_rot, axis=1)
+    n_out = n_out / jnp.maximum(jnp.linalg.norm(n_out, axis=-1, keepdims=True), 1e-9)
+    n_out = jnp.where(has[:, None], n_out, normals)
+    return out, n_out
+
+
+def _energy_residuals(
+    params: Tuple[jnp.ndarray, jnp.ndarray],
+    graph: DeformGraph,
+    cons: Constraint,
+    frozen: jnp.ndarray,
+):
+    """All energy residual blocks, flattened (reference `sparseJacobian` row
+    structure: 6 rot rows + 3*k reg rows per node + 3 rows per constraint)."""
+    A, t = params
+    K = graph.n_nodes
+    vmask = graph.valid.astype(jnp.float32)
+
+    # E_rot: orthonormality of each node's affine (6 upper-tri rows/node)
+    AtA = jnp.einsum("kji,kjl->kil", A, A)
+    eye = jnp.eye(3, dtype=jnp.float32)
+    diff = AtA - eye
+    iu, ju = jnp.triu_indices(3)
+    r_rot = diff[:, iu, ju] * vmask[:, None]  # [K, 6]
+
+    # E_reg: sequential k-neighbourhood smoothness (3 rows per edge)
+    offsets = jnp.array([-2, -1, 1, 2])
+    nb = jnp.clip(jnp.arange(K)[:, None] + offsets[None, :], 0, K - 1)  # [K,4]
+    edge_ok = (
+        vmask[:, None]
+        * graph.valid[nb].astype(jnp.float32)
+        * (nb != jnp.arange(K)[:, None]).astype(jnp.float32)
+    )
+    g_j = graph.pos[:, None, :]  # [K,1,3]
+    g_k = graph.pos[nb]  # [K,4,3]
+    # E_reg = A_j (g_k - g_j) + g_j + t_j - (g_k + t_k)
+    pred = jnp.einsum("kij,knj->kni", A, g_k - g_j) + g_j + t[:, None, :]
+    r_reg = (pred - (g_k + t[nb])) * edge_ok[..., None]
+
+    # E_con: point constraints through the blend (3 rows each)
+    gtmp = graph._replace(A=A, t=t)
+    moved = deform_points(gtmp, cons.src, cons.time)
+    r_con = (moved - cons.dst) * cons.valid.astype(jnp.float32)[:, None]
+
+    # freeze old nodes (reference `enabled` flag: nodes older than
+    # lastDeformTime don't move) — huge penalty rows on their parameters
+    fr = frozen.astype(jnp.float32)
+    r_frozen_t = t * fr[:, None] * 10.0
+    r_frozen_A = (A - eye).reshape(K, 9) * fr[:, None] * 10.0
+
+    return jnp.concatenate(
+        [
+            jnp.sqrt(W_ROT) * r_rot.reshape(-1),
+            jnp.sqrt(W_REG) * r_reg.reshape(-1),
+            jnp.sqrt(W_CON) * r_con.reshape(-1),
+            jnp.sqrt(W_CON) * r_frozen_t.reshape(-1),
+            jnp.sqrt(W_ROT) * r_frozen_A.reshape(-1),
+        ]
+    )
+
+
+class OptimiseStats(NamedTuple):
+    initial_error: jnp.ndarray
+    final_error: jnp.ndarray
+    mean_cons_error: jnp.ndarray  # mean 2-norm of constraint residuals
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "cg_iters"))
+def optimise(
+    graph: DeformGraph,
+    cons: Constraint,
+    frozen: jnp.ndarray | None = None,
+    iters: int = GN_ITERS,
+    cg_iters: int = CG_ITERS,
+) -> Tuple[DeformGraph, OptimiseStats]:
+    """Gauss-Newton with matrix-free CG on the normal equations
+    (reference `optimiseGraphSparse`, `DeformationGraph.cpp:457-535`:
+    <=3 GN iterations, CHOLMOD solve, frozen old nodes)."""
+    if frozen is None:
+        frozen = jnp.zeros((graph.n_nodes,), bool)
+
+    def residual_fn(params):
+        return _energy_residuals(params, graph, cons, frozen)
+
+    def total_err(params):
+        r = residual_fn(params)
+        return jnp.sum(r * r)
+
+    def cons_err(params):
+        A, t = params
+        g = graph._replace(A=A, t=t)
+        moved = deform_points(g, cons.src, cons.time)
+        d = jnp.linalg.norm(moved - cons.dst, axis=-1) * cons.valid
+        return jnp.sum(d) / jnp.maximum(jnp.sum(cons.valid), 1.0)
+
+    params0 = (graph.A, graph.t)
+    e0 = total_err(params0)
+
+    def gn_step(_, params):
+        r0, pullback = jax.vjp(residual_fn, params)
+        g = pullback(r0)[0]  # J^T r
+
+        def JtJv(v):
+            _, jv = jax.jvp(residual_fn, (params,), (v,))
+            jtjv = pullback(jv)[0]
+            return jax.tree.map(
+                lambda a, b: a + DAMPING * b, jtjv, v
+            )
+
+        neg_g = jax.tree.map(lambda x: -x, g)
+        dx, _ = jax.scipy.sparse.linalg.cg(JtJv, neg_g, maxiter=cg_iters)
+        cand = jax.tree.map(lambda p, d: p + d, params, dx)
+        # keep the step only if it reduces the energy (the reference rolls
+        # back diverging iterations)
+        better = total_err(cand) < total_err(params)
+        return jax.tree.map(
+            lambda c, p: jnp.where(better, c, p), cand, params
+        )
+
+    params = jax.lax.fori_loop(0, iters, gn_step, params0)
+    e1 = total_err(params)
+    ce = cons_err(params)
+    out = graph._replace(A=params[0], t=params[1])
+    return out, OptimiseStats(initial_error=e0, final_error=e1, mean_cons_error=ce)
+
+
+@functools.partial(jax.jit, donate_argnames=("data",))
+def apply_to_map(data: jnp.ndarray, count: jnp.ndarray, graph: DeformGraph) -> jnp.ndarray:
+    """Deform every live surfel's position+normal (the GPU half of the
+    reference's pipeline: `copy_unstable.vert:150-320` applies the serialised
+    rawGraph to all map surfels during clean)."""
+    pts = data[:-1, sm.POS]
+    nrm = data[:-1, sm.NORMAL]
+    times = data[:-1, sm.INIT_TIME]
+    alive = (data[:-1, sm.CONF] > 0) & (jnp.arange(data.shape[0] - 1) < count)
+    new_p, new_n = deform_points(graph, pts, times, nrm)
+    data = data.at[:-1, sm.POS].set(jnp.where(alive[:, None], new_p, pts))
+    data = data.at[:-1, sm.NORMAL].set(jnp.where(alive[:, None], new_n, nrm))
+    return data
+
+
+def apply_to_pose(graph: DeformGraph, pose: jnp.ndarray, time: jnp.ndarray) -> jnp.ndarray:
+    """Deform a camera pose (reference `applyGraphToPoses`,
+    `DeformationGraph.cpp:102-131`): translate the position through phi and
+    blend the node rotations, re-orthonormalised by SVD."""
+    p = pose[:3, 3][None]
+    t_arr = jnp.asarray(time, jnp.float32)[None]
+    nn, w = _blend_weights(graph, p, t_arr)
+    A_blend = jnp.sum(w[0][:, None, None] * graph.A[nn[0]], axis=0)
+    has = jnp.sum(w) > 1e-9
+    new_p = deform_points(graph, p, t_arr)[0]
+    R_new = se3.orthonormalise(A_blend @ pose[:3, :3])
+    out = pose.at[:3, 3].set(jnp.where(has, new_p, pose[:3, 3]))
+    out = out.at[:3, :3].set(jnp.where(has, R_new, pose[:3, :3]))
+    return out
