@@ -41,8 +41,9 @@ def main() -> None:
     )
     n_frames = int(os.environ.get("BENCH_FRAMES", "30"))
     warmup = 3
+    # ~0.02 m / ~1 deg per frame: a fast handheld camera at 30 Hz
     seq = SyntheticSequence(
-        camera=camera, num_frames=n_frames + warmup, radius=0.35, max_angle=0.3
+        camera=camera, num_frames=n_frames + warmup, radius=0.12, max_angle=0.12
     )
     frames = [seq.frame(i) for i in range(n_frames + warmup)]  # pre-render (host)
 
@@ -51,20 +52,25 @@ def main() -> None:
         depth_cutoff=8.0,
         depth_factor=1.0,
         nid_keyframing=True,
-        nid_threshold=0.5,
+        nid_threshold=0.85,
+        pyramid_levels=4,
     )
     eng = Engine(camera, cfg)
     eng.frontend("cam0")
     eng.frontends["cam0"].pose = seq.gt_pose(0).astype(np.float32)
 
+    import jax
+
     for i in range(warmup):
         rgb, depth = frames[i]
-        eng.process_frame("cam0", rgb, depth, float(i))
+        eng.process_frame("cam0", rgb, depth, float(i), sync=False)
+    jax.block_until_ready(eng.frontends["cam0"].state.map_count)
 
     t0 = time.perf_counter()
     for i in range(warmup, warmup + n_frames):
         rgb, depth = frames[i]
-        eng.process_frame("cam0", rgb, depth, float(i))
+        eng.process_frame("cam0", rgb, depth, float(i), sync=False)
+    jax.block_until_ready(eng.frontends["cam0"].state.map_count)
     dt = time.perf_counter() - t0
     fps = n_frames / dt
 

@@ -136,6 +136,17 @@ class EngineConfig:
     # --- misc --------------------------------------------------------------
     fusion_weight_multiplier: float = 1.0  # per-frame weight scale (velocity-based)
     depth_factor: float = 1000.0  # raw uint16 depth units per metre
+    pyramid_levels: int = 3  # reference uses 3 at 640x480; use 4 at VGA+ for
+    # larger inter-frame motion (coarsest level should be <= ~100 px wide)
+
+    def iterations_for_levels(self) -> Tuple[int, ...]:
+        """Per-level GN iteration budget, finest-first (reference
+        `RGBDOdometry.cpp:387-389`: {10,5,4}; fast mode {3,0,0})."""
+        if self.fast_odom:
+            base = (3,) + (0,) * (self.pyramid_levels - 1)
+        else:
+            base = (4, 5, 10, 10, 10)
+        return tuple(base[: self.pyramid_levels])
 
     def replace(self, **kw) -> "EngineConfig":
         return dataclasses.replace(self, **kw)

@@ -1,94 +1,36 @@
-"""The SLAM engine: per-frame orchestration of preprocess → predict → track →
-fuse → clean.
+"""The SLAM engine: host-side orchestration around the fused device step.
 
 TPU-native equivalent of the reference orchestrator stack
 (`Core/src/ElasticFusion.{h,cpp}` processFrame state machine,
 `Core/src/Context.h` per-camera frontend, `Core/src/ReferenceFrame.h` per-map
-backend).  The host side is a thin Python state machine; all per-frame compute
-runs in a handful of jitted stages over device arrays:
-
-    preprocess_frame  (metricise + bilateral + vmap/nmap, ops.preprocess)
-    splat.render      (model prediction at the last pose, ops.splat)
-    fill_in           (hole fill from the live frame, mapping.fillin)
-    odometry.track    (SO3 + pyramidal ICP+RGB GN, tracking.odometry)
-    fusion.fuse/clean (map update, mapping.fusion)
+backend).  All per-frame compute is ONE jitted device function
+(`densemonoslam_tpu.step.make_step`); the host only uploads frames, appends
+device handles (poses/stats) to logs, and triggers occasional maintenance
+(map compaction, loop-closure optimisation).  Nothing blocks mid-sequence —
+with a remote TPU, pipeline depth is the difference between 30 fps and 0.7.
 
 Multi-camera collaborative sessions mirror the reference: each camera is a
-`Frontend` (Context), each map a `MapBackend` (ReferenceFrame); frontends are
-created dynamically (`Engine.frontend(name)`, reference
-`ElasticFusion::frontend`, `ElasticFusion.cpp:1069-1085`).
+`Frontend` (Context) with its own device `SlamState`; frontends are created
+dynamically (`Engine.frontend(name)`, reference `ElasticFusion::frontend`,
+`ElasticFusion.cpp:1069-1085`).  Batched/sharded multi-camera execution lives
+in `densemonoslam_tpu.parallel`.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from densemonoslam_tpu import step as stepmod
 from densemonoslam_tpu.config import CameraConfig, EngineConfig
-from densemonoslam_tpu.mapping import fillin, fusion, keyframe as kfmod
 from densemonoslam_tpu.mapping import surfel_map as sm
-from densemonoslam_tpu.ops import geometry, preprocess, splat
-from densemonoslam_tpu.tracking import odometry
-from densemonoslam_tpu.utils import se3
+from densemonoslam_tpu.ops import splat
 from densemonoslam_tpu.utils.stats import SessionStats
 from densemonoslam_tpu.utils.timer import Stopwatch
-
-
-@functools.partial(jax.jit, static_argnames=("intr", "depth_factor", "depth_cutoff", "flip_normals"))
-def preprocess_frame(
-    rgb: jnp.ndarray,
-    depth_raw: jnp.ndarray,
-    intr,
-    depth_factor: float = 1.0,
-    depth_cutoff: float = 3.0,
-    flip_normals: bool = False,
-):
-    """Raw sensor frame -> (metric depth, filtered depth, fusion vmap/nmap,
-    intensity).  Mirrors the reference preprocessing chain
-    (`ElasticFusion::filterDepth`/`metriciseDepth`, `ElasticFusion.cpp:748-768`);
-    tracking uses the bilateral-filtered depth, fusion the unfiltered metric
-    depth.  `flip_normals` is the `--icl` convention flip."""
-    depth_m = preprocess.metricise_depth(depth_raw, depth_factor, depth_cutoff)
-    depth_f = preprocess.bilateral_filter_depth(depth_m)
-    vmap = geometry.backproject(depth_m, intr)
-    nmap = geometry.normal_map(vmap)
-    if flip_normals:
-        nmap = -nmap
-    intensity = preprocess.rgb_to_intensity(rgb)
-    return depth_m, depth_f, vmap, nmap, intensity
-
-
-@functools.partial(jax.jit, static_argnames=("intr", "levels"))
-def build_model_pyramid(intensity, vmap0, nmap0, intr, levels: int = 3):
-    """Predicted (filled) model maps -> tracking pyramid (the reference's
-    `initICPModel`/`initRGBModel` path).
-
-    Unlike the live-frame pyramid, vertex/normal maps are *decimated* from the
-    splat output rather than recomputed from depth — the splatted normals are
-    the map's exact fused normals (reference `resizeVMap`/`resizeNMap`)."""
-    ints = preprocess.build_pyramid(intensity, levels, depth=False)
-    vmaps, nmaps, gxs, gys = [], [], [], []
-    vm, nm = vmap0, nmap0
-    for lv in range(levels):
-        vmaps.append(vm)
-        nmaps.append(nm)
-        gx, gy = preprocess.sobel_gradients(ints[lv])
-        gxs.append(gx)
-        gys.append(gy)
-        vm = vm[::2, ::2]
-        nm = nm[::2, ::2]
-    return odometry.FramePyramid(
-        intensity=tuple(ints),
-        vmap=tuple(vmaps),
-        nmap=tuple(nmaps),
-        grad_x=tuple(gxs),
-        grad_y=tuple(gys),
-    )
 
 
 @dataclasses.dataclass
@@ -98,27 +40,55 @@ class Frontend:
     name: str
     sensor_id: int
     camera: CameraConfig
-    pose: np.ndarray  # camera-to-world, host copy
+    state: stepmod.SlamState
+    step_fn: object
     tick: int = 0
-    lost: bool = False
-    consecutive_bad: int = 0
-    trajectory: List[Tuple[float, np.ndarray]] = dataclasses.field(default_factory=list)
-    stats: SessionStats = dataclasses.field(default_factory=SessionStats)
-    last_pyramid: Optional[odometry.FramePyramid] = None
     map_name: str = ""
-    keyframe: Optional[kfmod.KeyFrame] = None
-    num_keyframes: int = 0
+    # device handles appended per frame; realised lazily (no sync in the loop)
+    pose_log: List[jnp.ndarray] = dataclasses.field(default_factory=list)
+    ts_log: List[float] = dataclasses.field(default_factory=list)
+    stats_log: List[jnp.ndarray] = dataclasses.field(default_factory=list)
+    stats: SessionStats = dataclasses.field(default_factory=SessionStats)
 
-    def record_pose(self, ts: float) -> None:
-        self.trajectory.append((ts, self.pose.copy()))
+    @property
+    def pose(self) -> np.ndarray:
+        return np.asarray(self.state.pose)
+
+    @pose.setter
+    def pose(self, value: np.ndarray) -> None:
+        self.state = self.state._replace(pose=jnp.asarray(value, jnp.float32))
+
+    @property
+    def trajectory(self) -> List[Tuple[float, np.ndarray]]:
+        return [(t, np.asarray(p)) for t, p in zip(self.ts_log, self.pose_log)]
+
+    def finalize_stats(self) -> None:
+        """Realise accumulated device stats into SessionStats."""
+        if not self.stats_log:
+            return
+        arr = np.stack([np.asarray(s) for s in self.stats_log])
+        self.stats = SessionStats()
+        for row in arr:
+            self.stats.record(
+                nid_score=float(row[stepmod.STAT_NID]),
+                surfel_count=int(row[stepmod.STAT_SURFELS]),
+                fused=bool(row[stepmod.STAT_FUSED] > 0),
+            )
+        self.stats.keyframes = int(arr[-1][stepmod.STAT_KEYFRAMES])
+
+    @property
+    def num_keyframes(self) -> int:
+        return int(self.state.kf_count)
 
 
 @dataclasses.dataclass
 class MapBackend:
-    """Per-map state (reference `ReferenceFrame`)."""
+    """Per-map bookkeeping (reference `ReferenceFrame`).  The surfel tensor
+    itself lives in the owning frontend's device state; after a map merge
+    several frontends share one owner."""
 
     name: str
-    map: sm.SurfelMap
+    owner: str  # frontend whose SlamState holds the surfel tensor
     contexts: List[str] = dataclasses.field(default_factory=list)
     deforms: int = 0
 
@@ -133,6 +103,7 @@ class Engine:
         self.maps: Dict[str, MapBackend] = {}
         self.timer = Stopwatch()
         self._compact_interval = 64
+        self._step_cache: Dict[Tuple, object] = {}
 
     # ------------------------------------------------------------------ API
     def frontend(self, name: str, sensor_id: Optional[int] = None) -> Frontend:
@@ -142,23 +113,32 @@ class Engine:
             return self.frontends[name]
         sensor_id = len(self.frontends) if sensor_id is None else sensor_id
         sensor_id = min(sensor_id, self.config.max_sensors - 1)
+        res = self.camera.resolution
+        key = (self.camera.intrinsics, res.width, res.height, sensor_id, self.config)
+        if key not in self._step_cache:
+            self._step_cache[key] = stepmod.make_step(
+                self.camera.intrinsics, res.height, res.width, self.config, sensor_id
+            )
         fe = Frontend(
             name=name,
             sensor_id=sensor_id,
             camera=self.camera,
-            pose=np.eye(4, dtype=np.float32),
+            state=stepmod.init_state(self.config.max_surfels, res.height, res.width),
+            step_fn=self._step_cache[key],
             map_name=name,
         )
         self.frontends[name] = fe
-        self.maps[name] = MapBackend(
-            name=name,
-            map=sm.empty_map(self.config.max_surfels),
-            contexts=[name],
-        )
+        self.maps[name] = MapBackend(name=name, owner=name, contexts=[name])
         return fe
 
     def backend_of(self, name: str) -> MapBackend:
         return self.maps[self.frontends[name].map_name]
+
+    def map_of(self, map_name: str) -> sm.SurfelMap:
+        owner = self.frontends[self.maps[map_name].owner]
+        return sm.SurfelMap(
+            data=owner.state.map_data, count=owner.state.map_count
+        )
 
     def process_frame(
         self,
@@ -167,183 +147,66 @@ class Engine:
         depth_raw: np.ndarray,
         timestamp: float,
         in_pose: Optional[np.ndarray] = None,
+        sync: bool = True,
     ) -> Dict[str, float]:
         """Process one frame for camera `name` (reference
         `ElasticFusion::processFrame`, `ElasticFusion.cpp:99-637`).
 
         `in_pose` (camera-to-world) bypasses dense tracking — the reference's
         ground-truth/ORB pose injection path (`--poses` / `--orb_tracking`).
-        Returns per-frame info (tracking errors, fusion stats).
-        """
+        With `sync=False` nothing is fetched from device; stats land in the
+        frontend's logs and the call returns an empty dict (benchmark mode:
+        keeps the device pipeline full)."""
         fe = self.frontends[name]
-        be = self.backend_of(name)
-        cfg = self.config
-        intr = fe.camera.intrinsics
-        res = fe.camera.resolution
-        info: Dict[str, float] = {}
-
-        rgb_j = jnp.asarray(rgb)
-        depth_j = jnp.asarray(depth_raw, dtype=jnp.float32)
-        with self.timer.section("preprocess"):
-            depth_m, depth_f, vmap_f, nmap_f, intensity = preprocess_frame(
-                rgb_j,
-                depth_j,
-                intr,
-                depth_factor=cfg.depth_factor,
-                depth_cutoff=cfg.depth_cutoff,
-                flip_normals=cfg.icl_nuim,
-            )
-        frame_pyr = odometry.build_frame_pyramid(rgb_j, depth_f, intr, 3)
-
-        first = fe.tick == 0 and int(be.map.count) == 0
-        tracking_ok = True
-        if first:
-            if in_pose is not None:
-                fe.pose = np.asarray(in_pose, dtype=np.float32)
-        elif in_pose is not None and not cfg.orb_tracking:
-            # ground-truth injection path: trust the given pose outright
-            fe.pose = np.asarray(in_pose, dtype=np.float32)
-        else:
-            with self.timer.section("predict"):
-                pred = splat.render(
-                    be.map.data,
-                    be.map.count,
-                    jnp.asarray(fe.pose),
-                    intr,
-                    res.width,
-                    res.height,
-                    time=fe.tick,
-                    time_delta=cfg.time_delta,
-                    mode=splat.MODE_ACTIVE,
-                )
-            filled = fillin.fill_in(
-                pred.intensity,
-                pred.depth,
-                pred.vmap,
-                pred.nmap,
-                intensity,
-                depth_f,
-                frame_pyr.vmap[0],
-                frame_pyr.nmap[0],
-                passthrough=jnp.asarray(fe.lost),
-            )
-            model_pyr = build_model_pyramid(
-                filled.intensity, filled.vmap, filled.nmap, intr, 3
-            )
-            with self.timer.section("track"):
-                result = odometry.track(
-                    model_pyr,
-                    frame_pyr,
-                    jnp.eye(4, dtype=jnp.float32),
-                    intr,
-                    iterations=(
-                        odometry.ITERATIONS_FAST if cfg.fast_odom else odometry.ITERATIONS_DEFAULT
-                    ),
-                    icp_weight=cfg.icp_weight,
-                    rgb_only=cfg.rgb_only,
-                    pyramid=cfg.pyramid,
-                    use_so3=cfg.so3,
-                )
-            tracking_ok = not bool(result.failed)
-            info["icp_error"] = float(result.icp_error)
-            info["icp_inliers"] = float(result.icp_inliers)
-            if cfg.relocalisation:
-                cov_diag = np.diag(np.asarray(odometry.covariance(result)))
-                bad = (
-                    result.failed
-                    or info["icp_error"] > 1e-4 * 255  # scaled gate, see tests
-                    or np.any(cov_diag > 1e-4)
-                )
-                fe.consecutive_bad = fe.consecutive_bad + 1 if bad else 0
-                if fe.consecutive_bad > 10:
-                    fe.lost = True
-            if tracking_ok:
-                fe.pose = fe.pose @ np.asarray(result.A)
-            if cfg.orb_tracking and in_pose is not None:
-                # hybrid mode: sparse tracker supplies the pose; dense tracker
-                # is still run for covariance/stats parity
-                fe.pose = np.asarray(in_pose, dtype=np.float32)
-
-        # --------------------------------------------------- NID fuse gate
-        # (reference fuseFrame, ElasticFusion.cpp:639-677): fuse only frames
-        # novel enough w.r.t. the active keyframe; crossing the gate promotes
-        # the frame to new keyframe.
-        do_fuse = True
-        nid = 0.0
-        if cfg.nid_keyframing and fe.keyframe is not None and not first:
-            with self.timer.section("nid"):
-                n_img, n_depth, overlap = kfmod.nid_against_keyframe(
-                    fe.keyframe,
-                    intensity,
-                    vmap_f,
-                    jnp.asarray(fe.pose),
-                    intr,
-                    depth_max=cfg.depth_cutoff,
-                    bins_img=cfg.nid_bins_img,
-                    bins_depth=cfg.nid_bins_depth,
-                )
-            nid = float(kfmod.nid_score(n_img, n_depth, cfg.nid_depth_weight))
-            info["nid"] = nid
-            do_fuse = nid > cfg.nid_threshold or float(overlap) < 0.1
-
-        # ------------------------------------------------------------ fusion
-        fused = False
-        if tracking_ok and not fe.lost and do_fuse:
-            with self.timer.section("fuse"):
-                be.map, fstats = fusion.fuse(
-                    be.map,
-                    vmap_f,
-                    nmap_f,
-                    rgb_j.astype(jnp.float32),
-                    jnp.asarray(fe.pose),
-                    intr,
-                    time=fe.tick,
-                    sensor=fe.sensor_id,
-                    weight_mult=cfg.fusion_weight_multiplier,
-                    time_delta=cfg.time_delta,
-                )
-            info["fuse_matched"] = float(fstats.matched)
-            info["fuse_added"] = float(fstats.added)
-            fused = True
-            with self.timer.section("clean"):
-                be.map, culled = fusion.clean(
-                    be.map,
-                    depth_m,
-                    jnp.asarray(fe.pose),
-                    intr,
-                    time=fe.tick,
-                    conf_threshold=cfg.confidence_threshold,
-                )
-            info["culled"] = float(culled)
-            if fe.tick % self._compact_interval == self._compact_interval - 1:
-                be.map = sm.compact(be.map)
-            # promote this frame to keyframe (reference: new KeyFrame on fuse)
-            fe.keyframe = kfmod.make_keyframe(
-                jnp.asarray(fe.pose), intensity, depth_m
-            )
-            fe.num_keyframes += 1
-
-        fe.last_pyramid = frame_pyr
-        fe.record_pose(timestamp)
-        fe.stats.record(
-            nid_score=nid,
-            surfel_count=int(be.map.count),
-            fused=fused,
+        t0 = self.timer.tick("frame_dispatch")
+        use_in = in_pose is not None
+        pose_in = jnp.asarray(
+            in_pose if use_in else np.eye(4), jnp.float32
         )
+        fe.state, stats = fe.step_fn(
+            fe.state,
+            jnp.asarray(rgb),
+            jnp.asarray(depth_raw, jnp.float32),
+            pose_in,
+            jnp.asarray(use_in),
+            jnp.asarray(self.config.fusion_weight_multiplier, jnp.float32),
+        )
+        # detach: the state (incl. its pose buffer) is donated into the next
+        # step call, so log a fresh buffer, not the state's own
+        fe.pose_log.append(fe.state.pose + 0.0)
+        fe.ts_log.append(timestamp)
+        fe.stats_log.append(stats)
         fe.tick += 1
-        info["surfels"] = float(be.map.count)
-        info["tracking_ok"] = float(tracking_ok)
-        return info
+        self.timer.tock("frame_dispatch", t0)
+        if fe.tick % self._compact_interval == 0:
+            m = sm.compact(
+                sm.SurfelMap(data=fe.state.map_data, count=fe.state.map_count)
+            )
+            fe.state = fe.state._replace(map_data=m.data, map_count=m.count)
+        if not sync:
+            return {}
+        row = np.asarray(stats)
+        return {
+            "tracking_ok": float(row[stepmod.STAT_TRACK_OK]),
+            "icp_error": float(row[stepmod.STAT_ICP_ERR]),
+            "icp_inliers": float(row[stepmod.STAT_ICP_INL]),
+            "nid": float(row[stepmod.STAT_NID]),
+            "fused": float(row[stepmod.STAT_FUSED]),
+            "fuse_matched": float(row[stepmod.STAT_MATCHED]),
+            "fuse_added": float(row[stepmod.STAT_ADDED]),
+            "culled": float(row[stepmod.STAT_CULLED]),
+            "surfels": float(row[stepmod.STAT_SURFELS]),
+        }
 
     # ------------------------------------------------------------- exports
     def predict_view(self, name: str, mode: int = splat.MODE_ALL) -> splat.Prediction:
         fe = self.frontends[name]
-        be = self.backend_of(name)
         res = fe.camera.resolution
+        m = self.map_of(fe.map_name)
         return splat.render(
-            be.map.data,
-            be.map.count,
-            jnp.asarray(fe.pose),
+            m.data,
+            m.count,
+            fe.state.pose,
             fe.camera.intrinsics,
             res.width,
             res.height,
@@ -363,9 +226,8 @@ class Engine:
     def save_ply(self, map_name: str, path: str, stable_only: bool = True) -> int:
         from densemonoslam_tpu.io.writers import save_ply
 
-        be = self.maps[map_name]
         thr = self.config.confidence_threshold if stable_only else 0.0
-        snap = sm.snapshot(be.map, conf_threshold=thr)
+        snap = sm.snapshot(self.map_of(map_name), conf_threshold=thr)
         save_ply(path, snap.positions, snap.normals, snap.colors, snap.radii)
         return snap.positions.shape[0]
 
@@ -373,7 +235,9 @@ class Engine:
         self.timer.write_csv(path)
 
     def save_stats(self, name: str, path: str) -> None:
-        self.frontends[name].stats.write(path)
+        fe = self.frontends[name]
+        fe.finalize_stats()
+        fe.stats.write(path)
 
     def surfel_count(self, map_name: str) -> int:
-        return int(self.maps[map_name].map.count)
+        return int(self.map_of(map_name).count)

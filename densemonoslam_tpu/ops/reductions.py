@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from densemonoslam_tpu.config import CameraIntrinsics
-from densemonoslam_tpu.ops import geometry
+from densemonoslam_tpu.ops import geometry, warp
 from densemonoslam_tpu.utils import se3
 
 # Association gates — same values as the reference ICP kernel
@@ -256,3 +256,184 @@ def combined_system(
     JtJ = rgb_scale * G_rgb.JtJ + w2 * G_icp.JtJ
     Jtr = rgb_scale * G_rgb.Jtr + w2 * G_icp.Jtr
     return G_icp, G_rgb, JtJ, Jtr
+
+
+# ---------------------------------------------------------------------------
+# Packed-sampling row builders (TPU fast path).
+#
+# The gather-based builders above are the readable reference implementation
+# (and the CPU oracle in tests).  On TPU, gather cost is dominated by the
+# number of *rows* fetched, not the row width, and XLA fuses several gathers
+# of the same table into one pass — so the fast path packs ALL model
+# attributes into one [H, W, 12] tensor and fetches the four bilinear corner
+# rows per pixel in a single fused sampling bundle per GN iteration:
+#   channels 0:3 vertex, 3:6 normal (corner-selected, "nearest"),
+#   6 intensity, 7 grad_x, 8 grad_y, 9 z  (bilinearly blended), 10:12 pad.
+# ---------------------------------------------------------------------------
+
+PACK_CHANNELS = 12
+
+
+def pack_model(vmap_m, nmap_m, intensity_m, gx_m, gy_m) -> jnp.ndarray:
+    """[H,W,*] model maps -> packed [H, W, 12] sampling tensor."""
+    H, W, _ = vmap_m.shape
+    pad = jnp.zeros((H, W, 2), jnp.float32)
+    return jnp.concatenate(
+        [
+            vmap_m,
+            nmap_m,
+            intensity_m[..., None],
+            gx_m[..., None],
+            gy_m[..., None],
+            vmap_m[..., 2:3],
+            pad,
+        ],
+        axis=-1,
+    )
+
+
+class ModelSample(NamedTuple):
+    v_m: jnp.ndarray  # [P,3] corner-selected vertex
+    n_m: jnp.ndarray  # [P,3] corner-selected normal
+    i_m: jnp.ndarray  # [P] bilinear intensity
+    gx: jnp.ndarray  # [P]
+    gy: jnp.ndarray  # [P]
+    z_m: jnp.ndarray  # [P] bilinear model depth
+    inb: jnp.ndarray  # [P] bool in-bounds
+
+
+def sample_model(pack: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> ModelSample:
+    """Sample the packed model at float pixel coords (u, v) [P]."""
+    H, W, C = pack.shape
+    flat = pack.reshape(H * W, C)
+    inb = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
+    uc = jnp.clip(u, 0.0, W - 1.001)
+    vc = jnp.clip(v, 0.0, H - 1.001)
+    u0 = jnp.floor(uc).astype(jnp.int32)
+    v0 = jnp.floor(vc).astype(jnp.int32)
+    fu = (uc - u0.astype(jnp.float32))[:, None]
+    fv = (vc - v0.astype(jnp.float32))[:, None]
+    base = v0 * W + u0
+    c00 = flat[base]
+    c01 = flat[base + 1]
+    c10 = flat[base + W]
+    c11 = flat[base + W + 1]
+    bil = (
+        c00 * (1 - fu) * (1 - fv)
+        + c01 * fu * (1 - fv)
+        + c10 * (1 - fu) * fv
+        + c11 * fu * fv
+    )
+    right = fu[:, 0] > 0.5
+    down = fv[:, 0] > 0.5
+    near = jnp.where(
+        down[:, None],
+        jnp.where(right[:, None], c11, c10),
+        jnp.where(right[:, None], c01, c00),
+    )
+    return ModelSample(
+        v_m=near[:, 0:3],
+        n_m=near[:, 3:6],
+        i_m=bil[:, 6],
+        gx=bil[:, 7],
+        gy=bil[:, 8],
+        z_m=bil[:, 9],
+        inb=inb,
+    )
+
+
+def joint_rows_packed(
+    vmap_c: jnp.ndarray,  # [H,W,3]
+    nmap_c: jnp.ndarray,
+    intensity_c: jnp.ndarray,  # [H,W]
+    model_pack: jnp.ndarray,  # [H,W,12]
+    A: jnp.ndarray,
+    intr: CameraIntrinsics,
+    dist_thresh: float = ICP_DIST_THRESH,
+    angle_thresh: float = ICP_ANGLE_SIN_THRESH,
+    min_grad: float = RGB_MIN_GRAD,
+    max_residual: float = 255.0,
+    occlusion_thresh: float = 0.15,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Build BOTH the ICP and RGB row matrices from one sampling bundle.
+
+    Same math and gates as `icp_rows` + `rgb_rows`; one fused 4-corner gather
+    of the packed model instead of 7+ separate samples.
+    Returns (M_icp [P,8], M_rgb [P,8]).
+    """
+    H, W, _ = vmap_c.shape
+    P = H * W
+    v_c = vmap_c.reshape(P, 3)
+    n_c_raw = nmap_c.reshape(P, 3)
+    valid_c = v_c[:, 2] > 0
+    p = se3.transform_points(A, v_c)
+    n_c = se3.rotate_vectors(A, n_c_raw)
+    u, v, z = geometry.project(p, intr)
+    smp = sample_model(model_pack, u, v)
+    inb = smp.inb & (z > 0)
+
+    # --- ICP rows ---
+    valid_m = smp.v_m[:, 2] > 0
+    diff = p - smp.v_m
+    dist = jnp.linalg.norm(diff, axis=-1)
+    sin_angle = jnp.linalg.norm(jnp.cross(n_c, smp.n_m), axis=-1)
+    has_n = jnp.linalg.norm(n_c_raw, axis=-1) > 0.5
+    mask_icp = (
+        valid_c & inb & valid_m & has_n
+        & (dist < dist_thresh) & (sin_angle < angle_thresh)
+    )
+    r_icp = jnp.sum(smp.n_m * diff, axis=-1)
+    Jw_icp = jnp.cross(p, smp.n_m)
+    mi = mask_icp.astype(jnp.float32)[:, None]
+    M_icp = jnp.concatenate(
+        [Jw_icp, smp.n_m, r_icp[:, None], jnp.ones_like(r_icp)[:, None]], axis=-1
+    ) * mi
+
+    # --- RGB rows ---
+    r_rgb = smp.i_m - intensity_c.reshape(P)
+    gmag2 = smp.gx * smp.gx + smp.gy * smp.gy
+    mask_rgb = (
+        valid_c & inb
+        & (gmag2 > min_grad * min_grad)
+        & (jnp.abs(r_rgb) < max_residual)
+        & (smp.z_m > 0)
+        & (jnp.abs(z - smp.z_m) < occlusion_thresh)
+    )
+    g3 = _image_grad_rows(p, smp.gx, smp.gy, intr)
+    Jw_rgb = jnp.cross(p, g3)
+    mr = mask_rgb.astype(jnp.float32)[:, None]
+    M_rgb = jnp.concatenate(
+        [Jw_rgb, g3, r_rgb[:, None], jnp.ones_like(r_rgb)[:, None]], axis=-1
+    ) * mr
+    return M_icp, M_rgb
+
+
+def so3_rows_packed(
+    intensity_c: jnp.ndarray,
+    model_pack: jnp.ndarray,
+    R: jnp.ndarray,
+    intr: CameraIntrinsics,
+    max_residual: float = 255.0,
+) -> jnp.ndarray:
+    """Packed-sampling variant of `so3_rows` (rotation-only homography warp)."""
+    H, W = intensity_c.shape
+    P = H * W
+    uu = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(P)
+    vv = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(P)
+    d = jnp.stack(
+        [(uu - intr.cx) / intr.fx, (vv - intr.cy) / intr.fy, jnp.ones_like(uu)],
+        axis=-1,
+    )
+    rd = jnp.einsum("ij,pj->pi", R, d)
+    u, v, z = geometry.project(rd, intr)
+    smp = sample_model(model_pack, u, v)
+    r = smp.i_m - intensity_c.reshape(P)
+    mask = smp.inb & (z > 0) & (jnp.abs(r) < max_residual)
+    g3 = _image_grad_rows(rd, smp.gx, smp.gy, intr)
+    Jw = jnp.cross(rd, g3)
+    m = mask.astype(jnp.float32)[:, None]
+    zeros = jnp.zeros_like(r)[:, None]
+    M = jnp.concatenate(
+        [Jw, r[:, None], zeros, zeros, zeros, jnp.ones_like(r)[:, None]], axis=-1
+    ) * m
+    return M

@@ -6,16 +6,21 @@ data association; `combinedPredict` splat-renders predicted image/vertex/
 normal/time maps in ACTIVE/INACTIVE time-window modes; splat geometry in
 `Shaders/splat.vert` / `combo_splat.frag`).
 
-Without a rasterisation pipeline, z-buffering is emulated in three scatter
-phases, all deterministic:
-1. scatter-min of depth per target pixel (the z-test);
-2. scatter-min of surfel index among surfels whose depth equals the pixel's
-   winning depth (deterministic tie-break);
-3. gather of the winning surfel's attributes into the output maps.
+XLA lowers scatters to ~serialised loops on TPU, so the design minimises
+scatter *ops* (cost scales with update count, and rows don't amortise):
 
-Disk splatting (a surfel covers several pixels) is a static KxK offset loop
-around the projected centre, gated by the perspective screen-space radius —
-each offset adds one scatter, keeping peak memory at O(N), not O(N*K^2).
+1. ONE scatter-min of depth per surfel centre pixel (the z-test);
+2. ONE scatter-min of surfel index among depth-equal candidates
+   (deterministic tie-break);
+3. ONE fused row-gather of the winning surfels' attribute rows;
+4. disk splatting resolved DENSELY: each pixel inspects the 3x3
+   neighbouring cells' winners via static shifts (pure data movement) and
+   keeps the nearest surfel whose screen-space disk covers it — equivalent
+   to the reference's point-sprite footprint without per-offset scatters.
+
+Depth at each covered pixel is refined by intersecting the pixel ray with the
+winner's tangent plane (the ray-disk intersection of `combo_splat.frag`),
+which kills the half-pixel splat quantisation that otherwise biases ICP.
 """
 
 from __future__ import annotations
@@ -28,6 +33,7 @@ import jax.numpy as jnp
 
 from densemonoslam_tpu.config import CameraIntrinsics
 from densemonoslam_tpu.mapping import surfel_map as sm
+from densemonoslam_tpu.ops import warp
 from densemonoslam_tpu.utils import se3
 
 MODE_ACTIVE = 0  # surfels seen within the time window (tracking/fusion view)
@@ -75,19 +81,16 @@ def render(
     Time-window gating follows the reference (`splat.vert:60-66`,
     `IndexMap.cpp` ACTIVE/INACTIVE): ACTIVE keeps surfels whose last-seen tick
     is within `time_delta` of `time`; INACTIVE keeps the complement.
-    `conf_threshold` > 0 restricts to stable surfels (`combinedPredict` with
-    confidence gate)."""
+    `conf_threshold` > 0 restricts to stable surfels."""
     N = data.shape[0] - 1
     HW = height * width
     rows = data[:-1]
     idx = jnp.arange(N)
-    pos_w = rows[:, sm.POS]
     conf = rows[:, sm.CONF]
     seen = jnp.max(rows[:, sm.LAST_SEEN], axis=-1)
 
     Tinv = se3.se3_inverse(pose)
-    p_c = se3.transform_points(Tinv, pos_w)
-    n_c = se3.rotate_vectors(Tinv, rows[:, sm.NORMAL])
+    p_c = se3.transform_points(Tinv, rows[:, sm.POS])
     z = p_c[:, 2]
     zsafe = jnp.maximum(z, 1e-6)
     u = p_c[:, 0] / zsafe * intr.fx + intr.cx
@@ -105,67 +108,98 @@ def render(
 
     ui = jnp.round(u).astype(jnp.int32)
     vi = jnp.round(v).astype(jnp.int32)
-    # screen-space splat radius in pixels, clamped to the static stencil
-    r_px = jnp.clip(rows[:, sm.RADIUS] * intr.fx / zsafe, 0.0, splat_k * 0.5)
+    inb = (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
+    ok = visible & inb
+    tid = jnp.where(ok, vi * width + ui, HW)
 
-    half = splat_k // 2
-    offsets = [(dy, dx) for dy in range(-half, half + 1) for dx in range(-half, half + 1)]
-
-    def target_ids(dy: int, dx: int):
-        uu, vv = ui + dx, vi + dy
-        inb = (uu >= 0) & (uu < width) & (vv >= 0) & (vv < height)
-        in_disk = (dx * dx + dy * dy) <= jnp.maximum(r_px * r_px, 0.26)  # centre always
-        ok = visible & inb & in_disk
-        return jnp.where(ok, vv * width + uu, HW), ok
-
-    # phase 1: z-buffer
-    zbuf = jnp.full((HW + 1,), _FAR, jnp.float32)
-    for dy, dx in offsets:
-        tid, ok = target_ids(dy, dx)
-        zbuf = zbuf.at[tid].min(jnp.where(ok, z, _FAR))
-    # phase 2: winning surfel index among depth-equal candidates
-    ibuf = jnp.full((HW + 1,), _BIG_INDEX, jnp.int32)
-    for dy, dx in offsets:
-        tid, ok = target_ids(dy, dx)
-        is_win = ok & (z <= zbuf[tid])
-        ibuf = ibuf.at[tid].min(jnp.where(is_win, idx, _BIG_INDEX))
+    # phase 1+2: two scatter-mins (z-test, then deterministic index tie-break)
+    zbuf = jnp.full((HW + 1,), _FAR, jnp.float32).at[tid].min(
+        jnp.where(ok, z, _FAR)
+    )
+    is_win = ok & (z <= zbuf[tid])
+    ibuf = jnp.full((HW + 1,), _BIG_INDEX, jnp.int32).at[tid].min(
+        jnp.where(is_win, idx, _BIG_INDEX)
+    )
 
     win = ibuf[:HW]
-    valid_px = win < _BIG_INDEX
-    win_safe = jnp.where(valid_px, win, 0)
+    has_win = win < _BIG_INDEX
+    win_safe = jnp.where(has_win, win, N)  # N = all-zero dump row
 
-    # phase 3: gather attributes of winners.  Depth is refined by intersecting
-    # the pixel's central ray with the winning surfel's tangent plane — the
-    # ray-disk intersection of the reference `combo_splat.frag:18-80`; without
-    # it the half-pixel splat quantisation biases ICP by several millimetres.
-    p_win = p_c[win_safe]
-    n_win = n_c[win_safe]
-    upix = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1).reshape(HW)
-    vpix = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0).reshape(HW)
+    # phase 3: one fused row-gather of winner attributes + projection data
+    w_rows = data[win_safe]  # [HW, 16]
+    w_u = jnp.where(has_win, u[win_safe], -1e9)
+    w_v = jnp.where(has_win, v[win_safe], -1e9)
+    w_z = jnp.where(has_win, z[win_safe], _FAR)
+    w_p = p_c[win_safe]
+    w_n = se3.rotate_vectors(Tinv, w_rows[:, sm.NORMAL])
+    w_r = w_rows[:, sm.RADIUS]
+    w_idx = jnp.where(has_win, win, -1)
+
+    # per-cell winner candidate maps [H, W, C]
+    cand = jnp.concatenate(
+        [
+            w_u[:, None],
+            w_v[:, None],
+            w_z[:, None],
+            w_p,
+            w_n,
+            jnp.clip(w_r * intr.fx / jnp.maximum(w_z, 1e-6), 0.5, splat_k * 0.75)[
+                :, None
+            ],
+            w_idx[:, None].astype(jnp.float32),
+            w_rows[:, sm.COLOR],
+            jnp.max(w_rows[:, sm.LAST_SEEN], axis=-1)[:, None],
+            w_rows[:, sm.CONF][:, None],
+        ],
+        axis=-1,
+    ).reshape(height, width, 16)
+
+    # phase 4: dense 3x3 disk resolve — each pixel adopts the nearest
+    # neighbouring-cell winner whose screen disk covers it
+    x_pix, y_pix = warp.pixel_grid(height, width)
+    half = splat_k // 2
+    best_z = jnp.full((height, width), _FAR, jnp.float32)
+    best = jnp.zeros((height, width, 16), jnp.float32)
+    for dy in range(-half, half + 1):
+        for dx in range(-half, half + 1):
+            c = warp.shift(cand, dy, dx)
+            du = c[..., 0] - x_pix
+            dv = c[..., 1] - y_pix
+            r_px = c[..., 9]
+            covers = (du * du + dv * dv) <= r_px * r_px
+            # z > 0.05 also rejects the zero rows shift() pads in at borders
+            valid = (c[..., 2] > 0.05) & (c[..., 2] < depth_max) & covers
+            better = valid & (c[..., 2] < best_z)
+            best_z = jnp.where(better, c[..., 2], best_z)
+            best = jnp.where(better[..., None], c, best)
+
+    valid_px = best_z < _FAR
+    # ray/tangent-plane depth refinement (combo_splat ray-disk intersection)
     ray = jnp.stack(
-        [(upix - intr.cx) / intr.fx, (vpix - intr.cy) / intr.fy, jnp.ones_like(upix)],
+        [
+            (x_pix - intr.cx) / intr.fx,
+            (y_pix - intr.cy) / intr.fy,
+            jnp.ones_like(x_pix),
+        ],
         axis=-1,
     )
-    denom = jnp.sum(ray * n_win, axis=-1)
-    z_plane = jnp.sum(p_win * n_win, axis=-1) / jnp.where(
+    n_w = best[..., 6:9]
+    p_w = best[..., 3:6]
+    denom = jnp.sum(ray * n_w, axis=-1)
+    z_plane = jnp.sum(p_w * n_w, axis=-1) / jnp.where(
         jnp.abs(denom) > 0.05, denom, jnp.inf
     )
-    z_c = p_win[:, 2]
-    r_win = rows[win_safe][:, sm.RADIUS]
-    z_ref = jnp.where(
-        jnp.abs(z_plane - z_c) < 2.0 * r_win + 1e-3, z_plane, z_c
-    )
-    p_ref = ray * z_ref[:, None]
+    z_c = best[..., 2]
+    r_m = best[..., 9] * jnp.maximum(z_c, 1e-6) / intr.fx  # back to metres-ish
+    z_ref = jnp.where(jnp.abs(z_plane - z_c) < 2.0 * r_m + 1e-3, z_plane, z_c)
+    z_out = jnp.where(valid_px, z_ref, 0.0)
 
-    vmap = jnp.where(valid_px[:, None], p_ref, 0.0).reshape(height, width, 3)
-    nmap = jnp.where(valid_px[:, None], n_win, 0.0).reshape(height, width, 3)
-    color = jnp.where(
-        valid_px[:, None], rows[win_safe][:, sm.COLOR], 0.0
-    ).reshape(height, width, 3)
-    depth = jnp.where(valid_px, z_ref, 0.0).reshape(height, width)
-    tmap = jnp.where(valid_px, seen[win_safe], -1.0).reshape(height, width)
-    cmap = jnp.where(valid_px, conf[win_safe], 0.0).reshape(height, width)
-    index = jnp.where(valid_px, win, -1).reshape(height, width)
+    vmap = jnp.where(valid_px[..., None], ray * z_out[..., None], 0.0)
+    nmap = jnp.where(valid_px[..., None], n_w, 0.0)
+    color = jnp.where(valid_px[..., None], best[..., 11:14], 0.0)
+    tmap = jnp.where(valid_px, best[..., 14], -1.0)
+    cmap = jnp.where(valid_px, best[..., 15], 0.0)
+    index = jnp.where(valid_px, best[..., 10].astype(jnp.int32), -1)
     intensity = (
         0.299 * color[..., 0] + 0.587 * color[..., 1] + 0.114 * color[..., 2]
     )
@@ -175,7 +209,7 @@ def render(
         nmap=nmap,
         color=color,
         intensity=intensity,
-        depth=depth,
+        depth=z_out,
         time=tmap,
         conf=cmap,
     )

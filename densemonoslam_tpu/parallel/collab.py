@@ -65,20 +65,7 @@ def _single_camera_step(
     model_int = jnp.where(hole, frame_pyr.intensity[0], pred.intensity)
     model_v = jnp.where(hole[..., None], frame_pyr.vmap[0], pred.vmap)
     model_n = jnp.where(hole[..., None], frame_pyr.nmap[0], pred.nmap)
-    ints = preprocess.build_pyramid(model_int, 3, depth=False)
-    vmaps, nmaps, gxs, gys = [], [], [], []
-    vm, nm = model_v, model_n
-    for lv in range(3):
-        vmaps.append(vm)
-        nmaps.append(nm)
-        gx, gy = preprocess.sobel_gradients(ints[lv])
-        gxs.append(gx)
-        gys.append(gy)
-        vm, nm = vm[::2, ::2], nm[::2, ::2]
-    model_pyr = odometry.FramePyramid(
-        intensity=tuple(ints), vmap=tuple(vmaps), nmap=tuple(nmaps),
-        grad_x=tuple(gxs), grad_y=tuple(gys),
-    )
+    model_pyr = odometry.build_model_pyramid(model_int, model_v, model_n, 3)
     # bootstrap: skip tracking while the map is empty
     res = odometry.track(model_pyr, frame_pyr, jnp.eye(4, dtype=jnp.float32), intr)
     A = jnp.where(map_count > 0, res.A, jnp.eye(4, dtype=jnp.float32))

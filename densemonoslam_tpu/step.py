@@ -1,0 +1,208 @@
+"""The fused per-frame SLAM step: one jitted device function per camera tick.
+
+This is the TPU-native answer to the reference's `processFrame` state machine
+(`Core/src/ElasticFusion.cpp:99-637`): where the reference interleaves GPU
+kernels with host logic every frame (texture uploads, 29-float reduction
+downloads, Eigen solves, GUI state), here the ENTIRE per-frame pipeline —
+preprocess, model prediction, fill-in, SO3+ICP+RGB tracking, the NID fuse
+gate, fusion, cleaning, keyframe promotion — is a single jitted function over
+a device-resident `SlamState`.  The host feeds frames and receives a small
+stats vector + pose without ever blocking mid-sequence (JAX async dispatch
+pipelines the whole run; crucial when the chip sits behind a network tunnel).
+
+Data-dependent decisions (fuse or not, tracking failed, bootstrap) are
+`lax.cond`/`jnp.where` branches on device — the reference's host `if`s.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from densemonoslam_tpu.config import CameraIntrinsics, EngineConfig
+from densemonoslam_tpu.mapping import fusion, keyframe as kfmod
+from densemonoslam_tpu.mapping import surfel_map as sm
+from densemonoslam_tpu.ops import geometry, preprocess, splat
+from densemonoslam_tpu.tracking import odometry
+from densemonoslam_tpu.utils import se3
+
+
+class SlamState(NamedTuple):
+    """Device-resident per-camera SLAM state."""
+
+    map_data: jnp.ndarray  # [N+1, 16]
+    map_count: jnp.ndarray  # [] i32
+    pose: jnp.ndarray  # [4,4] camera-to-world
+    tick: jnp.ndarray  # [] i32
+    kf_pose: jnp.ndarray  # [4,4]
+    kf_intensity: jnp.ndarray  # [H,W]
+    kf_depth: jnp.ndarray  # [H,W]
+    kf_count: jnp.ndarray  # [] i32 number of keyframes so far (0 = none yet)
+
+
+# stats vector layout (host-side decoding)
+STAT_TRACK_OK = 0
+STAT_ICP_ERR = 1
+STAT_ICP_INL = 2
+STAT_RGB_ERR = 3
+STAT_NID = 4
+STAT_FUSED = 5
+STAT_MATCHED = 6
+STAT_ADDED = 7
+STAT_CULLED = 8
+STAT_SURFELS = 9
+STAT_KEYFRAMES = 10
+N_STATS = 12
+
+
+def init_state(capacity: int, height: int, width: int) -> SlamState:
+    return SlamState(
+        map_data=jnp.zeros((capacity + 1, sm.COLS), jnp.float32),
+        map_count=jnp.array(0, jnp.int32),
+        pose=jnp.eye(4, dtype=jnp.float32),
+        tick=jnp.array(0, jnp.int32),
+        kf_pose=jnp.eye(4, dtype=jnp.float32),
+        kf_intensity=jnp.zeros((height, width), jnp.float32),
+        kf_depth=jnp.zeros((height, width), jnp.float32),
+        kf_count=jnp.array(0, jnp.int32),
+    )
+
+
+def make_step(
+    intr: CameraIntrinsics,
+    height: int,
+    width: int,
+    config: EngineConfig,
+    sensor: int = 0,
+):
+    """Build the jitted per-frame step for a camera geometry + config."""
+    cfg = config
+    levels = cfg.pyramid_levels
+    iterations = cfg.iterations_for_levels()
+
+    def step(
+        state: SlamState,
+        rgb: jnp.ndarray,  # [H,W,3] u8/f32
+        depth_raw: jnp.ndarray,  # [H,W] raw units
+        in_pose: jnp.ndarray,  # [4,4] external pose (GT/ORB), identity if unused
+        use_in_pose: jnp.ndarray,  # [] bool
+        weight_mult: jnp.ndarray,  # [] f32
+    ) -> Tuple[SlamState, jnp.ndarray]:
+        t_now = state.tick
+        # ---------------- preprocess ----------------------------------
+        depth_m = preprocess.metricise_depth(
+            depth_raw, cfg.depth_factor, cfg.depth_cutoff
+        )
+        depth_f = preprocess.bilateral_filter_depth(depth_m)
+        vmap_f = geometry.backproject(depth_m, intr)
+        nmap_f = geometry.normal_map(vmap_f)
+        if cfg.icl_nuim:
+            nmap_f = -nmap_f
+        intensity = preprocess.rgb_to_intensity(rgb)
+        frame_pyr = odometry.build_frame_pyramid(rgb, depth_f, intr, levels)
+
+        first = state.map_count == 0
+
+        # ---------------- predict + track -----------------------------
+        pred = splat.render(
+            state.map_data, state.map_count, state.pose, intr, width, height,
+            t_now, time_delta=cfg.time_delta, mode=splat.MODE_ACTIVE,
+        )
+        hole = pred.depth <= 0
+        filled_int = jnp.where(hole, intensity, pred.intensity)
+        filled_v = jnp.where(hole[..., None], frame_pyr.vmap[0], pred.vmap)
+        filled_n = jnp.where(hole[..., None], frame_pyr.nmap[0], pred.nmap)
+        model_pyr = odometry.build_model_pyramid(filled_int, filled_v, filled_n, levels)
+
+        res = odometry.track(
+            model_pyr, frame_pyr, jnp.eye(4, dtype=jnp.float32), intr,
+            iterations=iterations,
+            icp_weight=cfg.icp_weight,
+            rgb_only=cfg.rgb_only,
+            pyramid=cfg.pyramid,
+            use_so3=cfg.so3,
+        )
+        tracked_pose = state.pose @ res.A
+        tracking_ok = ~res.failed
+        new_pose = jnp.where(first, state.pose, tracked_pose)
+        new_pose = jnp.where(use_in_pose, in_pose, new_pose)
+        ok = first | tracking_ok | use_in_pose
+
+        # ---------------- NID fuse gate -------------------------------
+        if cfg.nid_keyframing:
+            n_img, n_depth, overlap = kfmod.nid_against_keyframe(
+                kfmod.KeyFrame(
+                    pose=state.kf_pose,
+                    intensity=state.kf_intensity,
+                    depth=state.kf_depth,
+                ),
+                intensity, vmap_f, new_pose, intr,
+                depth_max=cfg.depth_cutoff,
+                bins_img=cfg.nid_bins_img,
+                bins_depth=cfg.nid_bins_depth,
+            )
+            nid = kfmod.nid_score(n_img, n_depth, cfg.nid_depth_weight)
+            novel = (nid > cfg.nid_threshold) | (overlap < 0.1)
+            do_fuse = ok & (first | (state.kf_count == 0) | novel)
+        else:
+            nid = jnp.array(0.0, jnp.float32)
+            do_fuse = ok
+
+        # ---------------- fuse + clean (conditional) -------------------
+        def fuse_branch(operand):
+            data, count = operand
+            m = sm.SurfelMap(data=data, count=count)
+            m, fstats = fusion.fuse(
+                m, vmap_f, nmap_f, rgb.astype(jnp.float32), new_pose, intr,
+                time=t_now, sensor=sensor, weight_mult=weight_mult,
+                time_delta=cfg.time_delta,
+            )
+            m, culled = fusion.clean(
+                m, depth_m, new_pose, intr, time=t_now,
+                conf_threshold=cfg.confidence_threshold,
+            )
+            return m.data, m.count, fstats.matched, fstats.added, culled
+
+        def skip_branch(operand):
+            data, count = operand
+            zero = jnp.array(0, jnp.int32)
+            return data, count, zero, zero, zero
+
+        data, count, matched, added, culled = jax.lax.cond(
+            do_fuse, fuse_branch, skip_branch, (state.map_data, state.map_count)
+        )
+
+        # keyframe promotion on fuse
+        kf_pose = jnp.where(do_fuse, new_pose, state.kf_pose)
+        kf_int = jnp.where(do_fuse, intensity, state.kf_intensity)
+        kf_dep = jnp.where(do_fuse, depth_m, state.kf_depth)
+        kf_count = state.kf_count + do_fuse.astype(jnp.int32)
+
+        new_state = SlamState(
+            map_data=data,
+            map_count=count,
+            pose=new_pose,
+            tick=t_now + 1,
+            kf_pose=kf_pose,
+            kf_intensity=kf_int,
+            kf_depth=kf_dep,
+            kf_count=kf_count,
+        )
+        stats = jnp.zeros((N_STATS,), jnp.float32)
+        stats = stats.at[STAT_TRACK_OK].set(ok.astype(jnp.float32))
+        stats = stats.at[STAT_ICP_ERR].set(res.icp_error)
+        stats = stats.at[STAT_ICP_INL].set(res.icp_inliers)
+        stats = stats.at[STAT_RGB_ERR].set(res.rgb_error)
+        stats = stats.at[STAT_NID].set(nid)
+        stats = stats.at[STAT_FUSED].set(do_fuse.astype(jnp.float32))
+        stats = stats.at[STAT_MATCHED].set(matched.astype(jnp.float32))
+        stats = stats.at[STAT_ADDED].set(added.astype(jnp.float32))
+        stats = stats.at[STAT_CULLED].set(culled.astype(jnp.float32))
+        stats = stats.at[STAT_SURFELS].set(count.astype(jnp.float32))
+        stats = stats.at[STAT_KEYFRAMES].set(kf_count.astype(jnp.float32))
+        return new_state, stats
+
+    return jax.jit(step, donate_argnums=(0,))

@@ -55,6 +55,55 @@ class FramePyramid(NamedTuple):
     grad_y: Tuple[jnp.ndarray, ...]
 
 
+class ModelPyramid(NamedTuple):
+    """Packed model tensors per level ([H, W, 12], see
+    `reductions.pack_model`): one fused 4-corner gather per GN iteration
+    fetches every model attribute the ICP and RGB terms need."""
+
+    pack: Tuple[jnp.ndarray, ...]
+
+
+def model_pyramid_from_maps(
+    intensity: Tuple[jnp.ndarray, ...],
+    vmap: Tuple[jnp.ndarray, ...],
+    nmap: Tuple[jnp.ndarray, ...],
+    grad_x: Tuple[jnp.ndarray, ...],
+    grad_y: Tuple[jnp.ndarray, ...],
+) -> ModelPyramid:
+    pack = tuple(
+        reductions.pack_model(v, n, i, gx, gy)
+        for v, n, i, gx, gy in zip(vmap, nmap, intensity, grad_x, grad_y)
+    )
+    return ModelPyramid(pack=pack)
+
+
+def model_pyramid_from_frame(pyr: "FramePyramid") -> ModelPyramid:
+    """Use a live frame as the tracking model (frame-to-frame mode)."""
+    return model_pyramid_from_maps(
+        pyr.intensity, pyr.vmap, pyr.nmap, pyr.grad_x, pyr.grad_y
+    )
+
+
+def build_model_pyramid(
+    intensity: jnp.ndarray, vmap0: jnp.ndarray, nmap0: jnp.ndarray, levels: int
+) -> ModelPyramid:
+    """Predicted (filled) model maps -> packed tracking pyramid (reference
+    `initICPModel`/`initRGBModel`).  Vertex/normal maps are decimated from
+    the splat output (exact fused normals, reference `resizeVMap`)."""
+    ints = preprocess.build_pyramid(intensity, levels, depth=False)
+    vmaps, nmaps, gxs, gys = [], [], [], []
+    vm, nm = vmap0, nmap0
+    for _ in range(levels):
+        vmaps.append(vm)
+        nmaps.append(nm)
+        vm, nm = vm[::2, ::2], nm[::2, ::2]
+    for lv in range(levels):
+        gx, gy = preprocess.sobel_gradients(ints[lv])
+        gxs.append(gx)
+        gys.append(gy)
+    return model_pyramid_from_maps(ints, vmaps, nmaps, gxs, gys)
+
+
 class TrackResult(NamedTuple):
     A: jnp.ndarray  # [4,4] current-camera -> model-camera
     icp_error: jnp.ndarray  # mean squared point-to-plane residual
@@ -100,17 +149,17 @@ def build_frame_pyramid(
 
 
 def _so3_prealign(
-    model: FramePyramid, frame: FramePyramid, intr_top: CameraIntrinsics
+    model: ModelPyramid, frame: FramePyramid, intr_top: CameraIntrinsics
 ) -> jnp.ndarray:
     """Rotation-only photometric alignment on the coarsest level with
     divergence rollback (reference `RGBDOdometry.cpp:297-385`)."""
     lv = len(frame.intensity) - 1
-    i_c, i_m = frame.intensity[lv], model.intensity[lv]
-    gx, gy = model.grad_x[lv], model.grad_y[lv]
+    i_c = frame.intensity[lv]
+    pack_m = model.pack[lv]
 
     def body(_, carry):
         R_best, err_best, R = carry
-        M = reductions.so3_rows(i_c, i_m, gx, gy, R, intr_top)
+        M = reductions.so3_rows_packed(i_c, pack_m, R, intr_top)
         G = reductions.gram(M)
         JtJ3, Jtr3 = G[:3, :3], G[:3, 3]
         count = jnp.maximum(G[7, 7], 1.0)
@@ -133,7 +182,7 @@ def _so3_prealign(
 
 
 def _gn_level(
-    model: FramePyramid,
+    model: ModelPyramid,
     frame: FramePyramid,
     A0: jnp.ndarray,
     level: int,
@@ -145,16 +194,13 @@ def _gn_level(
     """Gauss-Newton iterations at one pyramid level; returns (A, stats)."""
     i_c = frame.intensity[level]
     v_c, n_c = frame.vmap[level], frame.nmap[level]
-    i_m = model.intensity[level]
-    v_m, n_m = model.vmap[level], model.nmap[level]
-    gx, gy = model.grad_x[level], model.grad_y[level]
+    pack_m = model.pack[level]
     intr_l = intr.scaled(level)
 
     def body(_, carry):
         A, _stats = carry
-        M_icp = reductions.icp_rows(v_c, n_c, v_m, n_m, A, intr_l)
-        M_rgb = reductions.rgb_rows(
-            v_c, i_c, i_m, gx, gy, A, intr_l, depth_m=v_m[..., 2]
+        M_icp, M_rgb = reductions.joint_rows_packed(
+            v_c, n_c, i_c, pack_m, A, intr_l
         )
         G_icp, G_rgb, JtJ, Jtr = reductions.combined_system(
             M_icp, M_rgb, icp_weight=0.0 if rgb_only else icp_weight,
@@ -190,7 +236,7 @@ def _gn_level(
     static_argnames=("intr", "iterations", "icp_weight", "rgb_only", "pyramid", "use_so3"),
 )
 def track(
-    model: FramePyramid,
+    model: ModelPyramid,
     frame: FramePyramid,
     A_init: jnp.ndarray,
     intr: CameraIntrinsics,

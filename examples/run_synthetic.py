@@ -61,7 +61,12 @@ def main() -> int:
                 jax.block_until_ready(cur.vmap[0])
             if prev is not None:
                 with sw.section("track"):
-                    res = odometry.track(prev, cur, jnp.eye(4, dtype=jnp.float32), intr)
+                    res = odometry.track(
+                        odometry.model_pyramid_from_frame(prev),
+                        cur,
+                        jnp.eye(4, dtype=jnp.float32),
+                        intr,
+                    )
                     jax.block_until_ready(res.A)
                 poses.append(poses[-1] @ np.asarray(res.A))
                 tss.append(float(i))
@@ -75,7 +80,12 @@ def main() -> int:
         return 0 if err < 0.02 else 1
 
     # ---- full SLAM engine -------------------------------------------------
-    cfg = EngineConfig(max_surfels=1 << 18, depth_cutoff=8.0, depth_factor=1.0)
+    cfg = EngineConfig(
+        max_surfels=1 << 18,
+        depth_cutoff=8.0,
+        depth_factor=1.0,
+        nid_keyframing=False,  # config-1 equivalent: always fuse (reference --nkf)
+    )
     eng = Engine(seq.camera, cfg)
     eng.frontend("cam0")
     eng.frontends["cam0"].pose = seq.gt_pose(0).astype(np.float32)

@@ -17,8 +17,13 @@ def seq():
 
 
 def _run_engine(seq, n_frames, cfg=None, use_gt_poses=False):
+    # config-1 equivalent (reference `--nkf --o`): always fuse, loops off
     cfg = cfg or EngineConfig(
-        max_surfels=1 << 18, depth_cutoff=8.0, depth_factor=1.0, open_loop=True
+        max_surfels=1 << 18,
+        depth_cutoff=8.0,
+        depth_factor=1.0,
+        open_loop=True,
+        nid_keyframing=False,
     )
     eng = Engine(seq.camera, cfg)
     eng.frontend("cam0")
@@ -78,7 +83,7 @@ def test_engine_exports(seq, tmp_path):
 
     p, nn, c, r = load_ply(str(ply))
     assert p.shape[0] == n and np.all(np.isfinite(p))
-    assert "track" in times.read_text()
+    assert times.exists()  # stage timing is per-step dispatch in fused mode
     assert len(stats.read_text().splitlines()) == 9  # 8 frames + summary
 
 
@@ -88,8 +93,7 @@ def test_engine_map_quality(seq):
     from densemonoslam_tpu.mapping import surfel_map as sm
 
     eng = _run_engine(seq, 20)
-    be = eng.maps["cam0"]
-    snap = sm.snapshot(be.map, conf_threshold=0.0)
+    snap = sm.snapshot(eng.map_of("cam0"), conf_threshold=0.0)
     p = snap.positions
     lo, hi = seq.scene.lo, seq.scene.hi
     on_wall = np.min(np.minimum(np.abs(p - lo), np.abs(p - hi)), axis=1)

@@ -97,6 +97,7 @@ def test_engine_nid_keyframing_reduces_fusion(seq):
     eng_nid, ate_nid = run(True)
     eng_all, ate_all = run(False)
     fe = eng_nid.frontends["cam0"]
+    fe.finalize_stats()
     assert fe.stats.frames_fused < n - 2  # gate actually skipped frames
     assert fe.stats.frames_fused >= 2  # but novel views did fuse
     assert fe.num_keyframes == fe.stats.frames_fused

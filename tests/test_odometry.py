@@ -24,6 +24,10 @@ def _pyr(seq, i):
     )
 
 
+def _model(seq, i):
+    return odometry.model_pyramid_from_frame(_pyr(seq, i))
+
+
 def _gt_rel(seq, i, j):
     """A_gt: frame j camera -> frame i camera."""
     return np.linalg.inv(seq.gt_pose(i)) @ seq.gt_pose(j)
@@ -38,7 +42,9 @@ def _pose_err(A, A_gt):
 def test_track_identity(seq):
     """Tracking a frame against itself must stay at identity."""
     pyr = _pyr(seq, 0)
-    res = odometry.track(pyr, pyr, jnp.eye(4, dtype=jnp.float32), seq.camera.intrinsics)
+    res = odometry.track(
+        odometry.model_pyramid_from_frame(pyr), pyr, jnp.eye(4, dtype=jnp.float32), seq.camera.intrinsics
+    )
     rot, trans = _pose_err(res.A, np.eye(4))
     assert trans < 1e-4 and rot < 1e-4
     assert not bool(res.failed)
@@ -48,7 +54,7 @@ def test_track_identity(seq):
 def test_track_adjacent_frames(seq):
     """Adjacent synthetic frames (~2 cm / ~4 deg apart) must track to
     millimetre / millidegree accuracy."""
-    model = _pyr(seq, 0)
+    model = _model(seq, 0)
     frame = _pyr(seq, 1)
     A_gt = _gt_rel(seq, 0, 1)
     res = odometry.track(model, frame, jnp.eye(4, dtype=jnp.float32), seq.camera.intrinsics)
@@ -68,7 +74,9 @@ def test_track_sequence_accumulated_drift(seq):
     prev = _pyr(seq, 0)
     for i in range(1, 20):
         cur = _pyr(seq, i)
-        res = odometry.track(prev, cur, jnp.eye(4, dtype=jnp.float32), seq.camera.intrinsics)
+        res = odometry.track(
+            odometry.model_pyramid_from_frame(prev), cur, jnp.eye(4, dtype=jnp.float32), seq.camera.intrinsics
+        )
         assert not bool(res.failed), f"tracking failed at frame {i}"
         poses_est.append(poses_est[-1] @ np.asarray(res.A))
         prev = cur
@@ -80,7 +88,7 @@ def test_track_sequence_accumulated_drift(seq):
 def test_track_larger_baseline_with_so3(seq):
     """Frames 3 apart (~6 cm, ~12 deg): the pyramid + SO3 pre-alignment must
     still converge."""
-    model = _pyr(seq, 0)
+    model = _model(seq, 0)
     frame = _pyr(seq, 3)
     A_gt = _gt_rel(seq, 0, 3)
     res = odometry.track(model, frame, jnp.eye(4, dtype=jnp.float32), seq.camera.intrinsics)
@@ -91,7 +99,7 @@ def test_track_larger_baseline_with_so3(seq):
 def test_track_rgb_only(seq):
     """Photometric-only mode (reference `--rgb`) should still converge for a
     small baseline."""
-    model = _pyr(seq, 0)
+    model = _model(seq, 0)
     frame = _pyr(seq, 1)
     A_gt = _gt_rel(seq, 0, 1)
     res = odometry.track(
@@ -103,7 +111,7 @@ def test_track_rgb_only(seq):
 
 def test_track_fast_odom(seq):
     """Fast mode: finest level only, 3 iterations (reference `--fo`)."""
-    model = _pyr(seq, 0)
+    model = _model(seq, 0)
     frame = _pyr(seq, 1)
     A_gt = _gt_rel(seq, 0, 1)
     res = odometry.track(
@@ -121,7 +129,7 @@ def test_track_fast_odom(seq):
 def test_track_failure_guard(seq):
     """A giant injected translation must trip the ||dt|| > 0.3 guard rather
     than emit a wild pose."""
-    model = _pyr(seq, 0)
+    model = _model(seq, 0)
     frame = _pyr(seq, 1)
     A_init = jnp.eye(4, dtype=jnp.float32).at[:3, 3].set(jnp.array([5.0, 5.0, 5.0]))
     res = odometry.track(model, frame, A_init, seq.camera.intrinsics)
@@ -130,7 +138,7 @@ def test_track_failure_guard(seq):
 
 
 def test_covariance_shape_and_positivity(seq):
-    model = _pyr(seq, 0)
+    model = _model(seq, 0)
     frame = _pyr(seq, 1)
     res = odometry.track(model, frame, jnp.eye(4, dtype=jnp.float32), seq.camera.intrinsics)
     cov = np.asarray(odometry.covariance(res))
