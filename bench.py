@@ -48,7 +48,7 @@ def main() -> None:
     frames = [seq.frame(i) for i in range(n_frames + warmup)]  # pre-render (host)
 
     cfg = EngineConfig(
-        max_surfels=1 << 21,
+        max_surfels=1 << 20,
         depth_cutoff=8.0,
         depth_factor=1.0,
         nid_keyframing=True,

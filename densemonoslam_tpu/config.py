@@ -109,6 +109,13 @@ class EngineConfig:
     # --- deformation graph -------------------------------------------------
     deform_graph_sample_rate: int = 5000  # `--dgs` 1 node per N surfels
     max_deform_nodes: int = 512  # reference buffer cap is 2048 (Deformation.cpp:27)
+    # local (time-window) loop closure (`ElasticFusion.cpp:399-495`)
+    loop_check_interval: int = 8  # attempt a local loop every N frames
+    loop_min_inactive_frac: float = 0.12  # inactive prediction coverage needed
+    loop_inlier_frac: float = 0.35  # of valid pixels (reference icpCountThresh)
+    loop_icp_err_thresh: float = 5e-4  # reference: err < 3e-4 (their units)
+    loop_cons_err_thresh: float = 0.01  # accept deformation when mean cons err below
+    loop_constraint_stride: int = 20  # constraint sampling grid (reference /20)
 
     # --- tracker mode flags ------------------------------------------------
     open_loop: bool = False  # `--o` disable deformation/loops

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from densemonoslam_tpu import loops as loopsmod
 from densemonoslam_tpu import step as stepmod
 from densemonoslam_tpu.config import CameraConfig, EngineConfig
 from densemonoslam_tpu.mapping import surfel_map as sm
@@ -49,6 +50,9 @@ class Frontend:
     ts_log: List[float] = dataclasses.field(default_factory=list)
     stats_log: List[jnp.ndarray] = dataclasses.field(default_factory=list)
     stats: SessionStats = dataclasses.field(default_factory=SessionStats)
+    fern_state: Optional[loopsmod.FernLoopState] = None
+    loops_closed: int = 0
+    last_loop_info: Optional[loopsmod.LoopInfo] = None
 
     @property
     def pose(self) -> np.ndarray:
@@ -183,6 +187,33 @@ class Engine:
                 sm.SurfelMap(data=fe.state.map_data, count=fe.state.map_count)
             )
             fe.state = fe.state._replace(map_data=m.data, map_count=m.count)
+        # ---- loop closure / place recognition at host cadence -------------
+        cfg = self.config
+        if (
+            not cfg.open_loop
+            and fe.tick % cfg.loop_check_interval == 0
+            and fe.tick > 2
+        ):
+            if fe.fern_state is None:
+                fe.fern_state = loopsmod.make_fern_state(fe.camera, cfg)
+            depth_m = jnp.asarray(depth_raw, jnp.float32) / cfg.depth_factor
+            intensity = (
+                0.299 * jnp.asarray(rgb[..., 0], jnp.float32)
+                + 0.587 * jnp.asarray(rgb[..., 1], jnp.float32)
+                + 0.114 * jnp.asarray(rgb[..., 2], jnp.float32)
+            )
+            fe.fern_state, _, _, _ = loopsmod.update_ferns(
+                fe.fern_state, rgb, depth_m, intensity, fe.state.pose,
+                fe.tick, cfg.fern_thresh,
+            )
+            if fe.tick > cfg.time_delta:
+                fe.state, linfo = loopsmod.try_local_loop(
+                    fe.state, fe.camera, cfg
+                )
+                fe.last_loop_info = linfo
+                if linfo.closed:
+                    fe.loops_closed += 1
+                    self.maps[fe.map_name].deforms += 1
         if not sync:
             return {}
         row = np.asarray(stats)
@@ -241,3 +272,34 @@ class Engine:
 
     def surfel_count(self, map_name: str) -> int:
         return int(self.map_of(map_name).count)
+
+    def relocalise(self, name: str, rgb: np.ndarray, depth_raw: np.ndarray) -> bool:
+        """Fern relocalisation (reference lost-mode `Ferns::findFrame` path,
+        `ElasticFusion.cpp:359-394`): query the fern DB with the current frame
+        and, on a confident match, reset the camera pose to the stored
+        keyframe pose (the dense tracker then refines from there)."""
+        from densemonoslam_tpu.mapping import ferns as fernmod
+
+        fe = self.frontends[name]
+        if fe.fern_state is None or int(fe.fern_state.db.count) == 0:
+            return False
+        cfg = self.config
+        depth_m = jnp.asarray(depth_raw, jnp.float32) / cfg.depth_factor
+        rgb8 = fernmod.downsample_for_ferns(jnp.asarray(rgb, jnp.float32))
+        d8 = fernmod.downsample_for_ferns(depth_m)
+        code = fernmod.encode(fe.fern_state.coder, rgb8, d8)
+        idx, dis = fernmod.best_match(fe.fern_state.db, code)
+        if float(dis) > 0.9:
+            return False
+        i8 = (
+            0.299 * rgb8[..., 0] + 0.587 * rgb8[..., 1] + 0.114 * rgb8[..., 2]
+        )
+        photo = fernmod.photometric_check(
+            fe.fern_state.db.intensity[idx], i8, fe.fern_state.db.depth[idx], d8
+        )
+        if float(photo) > cfg.photo_thresh:
+            return False
+        fe.state = fe.state._replace(
+            pose=fe.fern_state.db.poses[idx]
+        )
+        return True

@@ -1,0 +1,215 @@
+"""Loop closure orchestration: local (time-window) loops, global fern loops,
+and relocalisation.
+
+Host-side equivalents of the reference's in-`processFrame` loop machinery:
+
+- **local loops** (`ElasticFusion.cpp:399-495`): render the INACTIVE model at
+  the current pose, align the ACTIVE prediction onto it with the dense
+  tracker, and on success feed sampled surface constraints to the
+  deformation graph, folding the drifted recent map onto the old one and
+  reactivating it;
+- **global loops / relocalisation** (`ElasticFusion.cpp:279-394` +
+  `Ferns.cpp:277-423`): retrieve a fern keyframe, refine with ICP at fern
+  resolution, photometric-check, then constrain the global deformation.
+
+These run at a host cadence (every `loop_check_interval` frames) because they
+are data-dependent multi-stage decisions; each stage is a jitted device
+function and only scalar gates cross the host boundary.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from densemonoslam_tpu import step as stepmod
+from densemonoslam_tpu.config import CameraConfig, EngineConfig
+from densemonoslam_tpu.mapping import deformation as dg
+from densemonoslam_tpu.mapping import ferns as fernmod
+from densemonoslam_tpu.mapping import surfel_map as sm
+from densemonoslam_tpu.ops import splat
+from densemonoslam_tpu.tracking import odometry
+from densemonoslam_tpu.utils import se3
+
+
+class LoopInfo(NamedTuple):
+    attempted: bool
+    closed: bool
+    inactive_frac: float
+    inlier_frac: float
+    icp_error: float
+    cons_error: float
+
+
+def _constraints_from_alignment(
+    act_vmap: jnp.ndarray,  # [H,W,3] active prediction vertices (cam frame)
+    act_time: jnp.ndarray,  # [H,W] active last-seen ticks
+    inact_depth: jnp.ndarray,  # [H,W] inactive prediction depth
+    inact_vmap: jnp.ndarray,
+    inact_time: jnp.ndarray,
+    A: jnp.ndarray,  # active-cam -> inactive-cam correction
+    pose: jnp.ndarray,
+    stride: int,
+) -> dg.Constraint:
+    """Surface constraints on a sparse pixel grid (reference builds them on a
+    20x-downsampled grid, `ElasticFusion.cpp:443-474`): pull each active
+    point onto its ICP-corrected position, and pin the corresponding inactive
+    point in place."""
+    src_cam = act_vmap[::stride, ::stride].reshape(-1, 3)
+    t_src = act_time[::stride, ::stride].reshape(-1)
+    dst_cam = se3.transform_points(A, src_cam)
+    d_in = inact_depth[::stride, ::stride].reshape(-1)
+    pin_cam = inact_vmap[::stride, ::stride].reshape(-1, 3)
+    t_pin = inact_time[::stride, ::stride].reshape(-1)
+    valid = (src_cam[:, 2] > 0) & (d_in > 0)
+    src_w = se3.transform_points(pose, src_cam)
+    dst_w = se3.transform_points(pose, dst_cam)
+    pin_w = se3.transform_points(pose, pin_cam)
+    src = jnp.concatenate([src_w, pin_w], axis=0)
+    dst = jnp.concatenate([dst_w, pin_w], axis=0)
+    time = jnp.concatenate([t_src, t_pin], axis=0)
+    vmask = jnp.concatenate([valid, valid & (pin_cam[:, 2] > 0)], axis=0)
+    pinned = jnp.concatenate(
+        [jnp.zeros_like(valid), jnp.ones_like(valid)], axis=0
+    )
+    return dg.Constraint(src=src, dst=dst, time=time, valid=vmask, pinned=pinned)
+
+
+@jax.jit
+def _reactivate_in_view(data, count, pose, t_now):
+    """After a successful local loop the inactive region folds back into the
+    active window (reference `copy_unstable.vert:150-156` re-activation):
+    bump last-seen of every live surfel to now is too blunt — only those the
+    deformation pulled into the current view matter, but a full-map bump of
+    recently *deformed* regions approximates the reference; we bump all live
+    surfels' sensor-0 last-seen."""
+    idx = jnp.arange(data.shape[0] - 1)
+    alive = (data[:-1, sm.CONF] > 0) & (idx < count)
+    col = data[:-1, 12]
+    data = data.at[:-1, 12].set(jnp.where(alive, jnp.asarray(t_now, jnp.float32), col))
+    return data
+
+
+def try_local_loop(
+    state: stepmod.SlamState,
+    camera: CameraConfig,
+    cfg: EngineConfig,
+) -> Tuple[stepmod.SlamState, LoopInfo]:
+    """Attempt a local (active-vs-inactive) loop closure at the current pose.
+
+    Mirrors `ElasticFusion.cpp:399-495`: INACTIVE combinedPredict ->
+    model-to-model `getIncrementalTransformation` -> covariance/inlier/error
+    gates -> constraints -> `localDeformation.constrain` -> apply.
+    """
+    intr = camera.intrinsics
+    W, H = camera.resolution.width, camera.resolution.height
+    t_now = int(state.tick)
+    no = LoopInfo(False, False, 0.0, 0.0, 0.0, 0.0)
+
+    pred_in = splat.render(
+        state.map_data, state.map_count, state.pose, intr, W, H,
+        t_now, time_delta=cfg.time_delta, mode=splat.MODE_INACTIVE,
+    )
+    inact_frac = float(jnp.mean((pred_in.depth > 0).astype(jnp.float32)))
+    if inact_frac < cfg.loop_min_inactive_frac:
+        return state, no._replace(attempted=True, inactive_frac=inact_frac)
+
+    pred_act = splat.render(
+        state.map_data, state.map_count, state.pose, intr, W, H,
+        t_now, time_delta=cfg.time_delta, mode=splat.MODE_ACTIVE,
+    )
+    levels = cfg.pyramid_levels
+    model = odometry.build_model_pyramid(
+        pred_in.intensity, pred_in.vmap, pred_in.nmap, levels
+    )
+    frame = odometry.frame_pyramid_from_maps(
+        pred_act.intensity, pred_act.vmap, pred_act.nmap, levels
+    )
+    res = odometry.track(
+        model, frame, jnp.eye(4, dtype=jnp.float32), intr,
+        iterations=cfg.iterations_for_levels(),
+        icp_weight=cfg.icp_weight,
+        use_so3=False,  # predictions share the pose; rotation offset is small
+    )
+    n_valid = float(jnp.sum((pred_act.depth > 0).astype(jnp.float32)))
+    inlier_frac = float(res.icp_inliers) / max(n_valid, 1.0)
+    icp_err = float(res.icp_error)
+    info = LoopInfo(True, False, inact_frac, inlier_frac, icp_err, 0.0)
+    if (
+        bool(res.failed)
+        or inlier_frac < cfg.loop_inlier_frac
+        or icp_err > cfg.loop_icp_err_thresh
+    ):
+        return state, info
+
+    cons = _constraints_from_alignment(
+        pred_act.vmap,
+        pred_act.time,
+        pred_in.depth,
+        pred_in.vmap,
+        pred_in.time,
+        res.A,
+        state.pose,
+        cfg.loop_constraint_stride,
+    )
+    graph = dg.sample_graph(
+        state.map_data,
+        state.map_count,
+        max_nodes=cfg.max_deform_nodes,
+        sample_rate=cfg.deform_graph_sample_rate,
+    )
+    # anchor the old (inactive-epoch) part of the map; deform the recent part
+    frozen = graph.time < (t_now - cfg.time_delta)
+    graph2, stats = dg.optimise(graph, cons, frozen=frozen)
+    cons_err = float(stats.mean_cons_error)
+    info = info._replace(cons_error=cons_err)
+    if cons_err > cfg.loop_cons_err_thresh:
+        return state, info
+
+    data = dg.apply_to_map(state.map_data, state.map_count, graph2)
+    new_pose = dg.apply_to_pose(graph2, state.pose, float(t_now))
+    data = _reactivate_in_view(data, state.map_count, new_pose, t_now)
+    state = state._replace(map_data=data, pose=new_pose)
+    return state, info._replace(closed=True)
+
+
+class FernLoopState(NamedTuple):
+    coder: fernmod.FernCoder
+    db: fernmod.FernDB
+
+
+def make_fern_state(camera: CameraConfig, cfg: EngineConfig, capacity: int = 512) -> FernLoopState:
+    w8, h8 = camera.resolution.width // 8, camera.resolution.height // 8
+    return FernLoopState(
+        coder=fernmod.make_coder(w8, h8, cfg.depth_cutoff),
+        db=fernmod.empty_db(capacity, h8, w8),
+    )
+
+
+def update_ferns(
+    fs: FernLoopState,
+    rgb: jnp.ndarray,
+    depth_m: jnp.ndarray,
+    intensity: jnp.ndarray,
+    pose: jnp.ndarray,
+    t_now: int,
+    thresh: float,
+) -> Tuple[FernLoopState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Encode the frame, query the DB (excluding the recent past), and insert
+    if novel.  Returns (state, code, best_idx, best_dissim)."""
+    rgb8 = fernmod.downsample_for_ferns(jnp.asarray(rgb, jnp.float32))
+    d8 = fernmod.downsample_for_ferns(depth_m)
+    i8 = fernmod.downsample_for_ferns(intensity)
+    code = fernmod.encode(fs.coder, rgb8, d8)
+    idx, dis = fernmod.best_match(fs.db, code)
+    db, _added = fernmod.add_frame(
+        fs.db, code, pose, i8, d8, time=t_now, min_dissim=dis, thresh=thresh
+    )
+    return FernLoopState(coder=fs.coder, db=db), code, idx, dis
+
+
+def fern_recovery_pose(fs: FernLoopState, idx: int) -> np.ndarray:
+    return np.asarray(fs.db.poses[idx])

@@ -72,8 +72,14 @@ def sample_graph(
 ) -> DeformGraph:
     """Sample every `sample_rate`-th allocated surfel as a node (reference
     `sample.vert`/`sample.geom`: every 5000th stable surfel; append order is
-    temporal, so the node sequence is time-ordered)."""
-    idx = jnp.arange(max_nodes) * sample_rate
+    temporal, so the node sequence is time-ordered).
+
+    When `max_nodes * sample_rate < count` the stride widens so the node
+    sequence always spans the WHOLE allocated map — otherwise the most recent
+    (most deformable) epoch would have no nodes and loop closures could not
+    move it."""
+    stride = jnp.maximum(jnp.asarray(sample_rate, jnp.int32), count // max_nodes + 1)
+    idx = jnp.arange(max_nodes) * stride
     ok = (idx < count) & (data[jnp.minimum(idx, data.shape[0] - 2), sm.CONF] > 0)
     idx = jnp.minimum(idx, data.shape[0] - 2)
     pos = data[idx][:, sm.POS]
@@ -256,13 +262,20 @@ def optimise(
 
         neg_g = jax.tree.map(lambda x: -x, g)
         dx, _ = jax.scipy.sparse.linalg.cg(JtJv, neg_g, maxiter=cg_iters)
-        cand = jax.tree.map(lambda p, d: p + d, params, dx)
-        # keep the step only if it reduces the energy (the reference rolls
-        # back diverging iterations)
-        better = total_err(cand) < total_err(params)
-        return jax.tree.map(
-            lambda c, p: jnp.where(better, c, p), cand, params
-        )
+        # backtracking step control: full GN steps can overshoot on the
+        # nonlinear rotation terms; pick the best of {1, 1/2, 1/4} and keep
+        # the current params if none improves (the reference rolls back
+        # diverging iterations the same way)
+        e_cur = total_err(params)
+        best = params
+        e_best = e_cur
+        for alpha in (1.0, 0.5, 0.25):
+            cand = jax.tree.map(lambda p, d: p + alpha * d, params, dx)
+            e_cand = total_err(cand)
+            take = e_cand < e_best
+            best = jax.tree.map(lambda c, b: jnp.where(take, c, b), cand, best)
+            e_best = jnp.minimum(e_cand, e_best)
+        return best
 
     params = jax.lax.fori_loop(0, iters, gn_step, params0)
     e1 = total_err(params)

@@ -84,6 +84,28 @@ def model_pyramid_from_frame(pyr: "FramePyramid") -> ModelPyramid:
     )
 
 
+def frame_pyramid_from_maps(
+    intensity: jnp.ndarray, vmap0: jnp.ndarray, nmap0: jnp.ndarray, levels: int
+) -> FramePyramid:
+    """Build a FramePyramid from rendered maps (used when a *prediction*
+    plays the role of the live frame, e.g. model-to-model loop-closure
+    tracking, reference `ElasticFusion.cpp:410-424`)."""
+    ints = preprocess.build_pyramid(intensity, levels, depth=False)
+    vmaps, nmaps, gxs, gys = [], [], [], []
+    vm, nm = vmap0, nmap0
+    for lv in range(levels):
+        vmaps.append(vm)
+        nmaps.append(nm)
+        gx, gy = preprocess.sobel_gradients(ints[lv])
+        gxs.append(gx)
+        gys.append(gy)
+        vm, nm = vm[::2, ::2], nm[::2, ::2]
+    return FramePyramid(
+        intensity=tuple(ints), vmap=tuple(vmaps), nmap=tuple(nmaps),
+        grad_x=tuple(gxs), grad_y=tuple(gys),
+    )
+
+
 def build_model_pyramid(
     intensity: jnp.ndarray, vmap0: jnp.ndarray, nmap0: jnp.ndarray, levels: int
 ) -> ModelPyramid:
