@@ -1,0 +1,179 @@
+"""Command-line interface: dataset replay through the full SLAM engine.
+
+Equivalent of the reference GUI application's headless replay mode
+(`GUI/src/Main.cpp` + `MainController` with `--l <log> --q`): process a
+sequence, export `.freiburg` trajectory / `.ply` map / `.stats` /
+`.timings.csv`, optionally evaluate ATE against ground truth.  Flag names are
+spelled out; the reference's two-letter flags are noted per option
+(reference `README.md:56-126`).
+
+Usage examples:
+    python -m densemonoslam_tpu.cli --dataset synthetic --frames 60 --out /tmp/run
+    python -m densemonoslam_tpu.cli --dataset tum --path ~/data/fr1_desk --out out/
+    python -m densemonoslam_tpu.cli --dataset icl --path lr0 --icl --out out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description="densemonoslam_tpu dataset replay")
+    ap.add_argument("--dataset", choices=["synthetic", "tum", "icl", "kitti"], default="synthetic")
+    ap.add_argument("--path", default=None, help="dataset root (`--l` log path)")
+    ap.add_argument("--out", default=None, help="export directory")
+    ap.add_argument("--frames", type=int, default=60, help="max frames (`--e` end)")
+    ap.add_argument("--skip", type=int, default=0, help="skip first N (`--s`)")
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    # engine flags (reference two-letter names in help)
+    ap.add_argument("--open-loop", action="store_true", help="`--o` disable loops")
+    ap.add_argument("--no-nid", action="store_true", help="`--nkf` disable NID keyframing")
+    ap.add_argument("--rgb-only", action="store_true", help="`--rgb`")
+    ap.add_argument("--fast-odom", action="store_true", help="`--fo`")
+    ap.add_argument("--no-so3", action="store_true", help="`--nso`")
+    ap.add_argument("--relocalisation", action="store_true", help="`--rl`")
+    ap.add_argument("--icl", action="store_true", help="`--icl` normal flip")
+    ap.add_argument("--time-delta", type=int, default=200, help="`--t`")
+    ap.add_argument("--confidence", type=float, default=10.0, help="`--c`")
+    ap.add_argument("--depth-cutoff", type=float, default=3.0, help="`--d`")
+    ap.add_argument("--icp-weight", type=float, default=10.0, help="`--i`")
+    ap.add_argument("--nid-threshold", type=float, default=0.85, help="`--nid`")
+    ap.add_argument("--max-surfels", type=int, default=1 << 20)
+    ap.add_argument("--pyramid-levels", type=int, default=None)
+    ap.add_argument("--gt", default=None, help="freiburg ground-truth file for ATE")
+    ap.add_argument("--checkpoint", default=None, help="save state here at the end")
+    ap.add_argument("--resume", default=None, help="restore state before starting")
+    return ap
+
+
+def make_reader(args):
+    from densemonoslam_tpu.config import CameraConfig
+    from densemonoslam_tpu.io.synthetic import SyntheticSequence
+
+    if args.dataset == "synthetic":
+        # keep the orbit dense regardless of how few frames are replayed
+        seq = SyntheticSequence(
+            num_frames=max(args.frames + args.skip, 40), radius=0.35, max_angle=0.3
+        )
+        return seq, seq.camera, 1.0
+    if args.dataset == "tum":
+        from densemonoslam_tpu.io.datasets import TumRgbdReader
+
+        return TumRgbdReader(args.path), CameraConfig.tum_default(), 1.0
+    if args.dataset == "icl":
+        from densemonoslam_tpu.io.datasets import IclNuimReader
+
+        return IclNuimReader(args.path), CameraConfig.tum_default(), 1.0
+    if args.dataset == "kitti":
+        from densemonoslam_tpu.io.datasets import KittiOdometryReader
+
+        depth_dir = os.path.join(args.path, "depth") if args.path else None
+        if depth_dir and not os.path.isdir(depth_dir):
+            depth_dir = None
+        return (
+            KittiOdometryReader(args.path, depth_dir),
+            CameraConfig.kitti_default(),
+            1.0,
+        )
+    raise ValueError(args.dataset)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.platform == "cpu" or (args.platform is None and os.environ.get("JAX_PLATFORMS") == "cpu"):
+        os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from densemonoslam_tpu.config import EngineConfig
+    from densemonoslam_tpu.engine import Engine
+
+    reader, camera, depth_factor = make_reader(args)
+    cfg = EngineConfig(
+        time_delta=args.time_delta,
+        confidence_threshold=args.confidence,
+        depth_cutoff=args.depth_cutoff if args.dataset != "synthetic" else 8.0,
+        icp_weight=args.icp_weight,
+        nid_threshold=args.nid_threshold,
+        nid_keyframing=not args.no_nid,
+        open_loop=args.open_loop,
+        rgb_only=args.rgb_only,
+        fast_odom=args.fast_odom,
+        so3=not args.no_so3,
+        relocalisation=args.relocalisation,
+        icl_nuim=args.icl,
+        max_surfels=args.max_surfels,
+        depth_factor=depth_factor if args.dataset != "synthetic" else 1.0,
+        pyramid_levels=args.pyramid_levels
+        or (4 if camera.resolution.height >= 480 else 3),
+    )
+    eng = Engine(camera, cfg)
+    eng.frontend("cam0")
+    if args.resume:
+        from densemonoslam_tpu.utils.checkpoint import load_frontend
+
+        load_frontend(args.resume, eng.frontends["cam0"])
+        print(f"resumed from {args.resume} at tick {eng.frontends['cam0'].tick}")
+
+    for _ in range(args.skip):
+        if not reader.has_more():
+            break
+        reader.get_next()
+
+    n = 0
+    t0 = None
+    while reader.has_more() and n < args.frames:
+        if args.dataset == "synthetic":
+            rgb, depth = reader.frame(n + args.skip)
+            ts = float(n + args.skip)
+        else:
+            rgb, depth, ts = reader.get_next()
+        eng.process_frame("cam0", rgb, depth, ts, sync=False)
+        n += 1
+        if n == 2:
+            t0 = time.perf_counter()
+    import jax
+
+    jax.block_until_ready(eng.frontends["cam0"].state.map_count)
+    fps = (n - 2) / (time.perf_counter() - t0) if t0 and n > 2 else 0.0
+
+    print(f"processed {n} frames at {fps:.1f} fps; surfels={eng.surfel_count('cam0')}")
+    if args.dataset == "synthetic":
+        from densemonoslam_tpu.eval import ate_rmse
+
+        gt = [reader.gt_pose(i + args.skip) for i in range(n)]
+        est = [p for _, p in eng.frontends["cam0"].trajectory]
+        print(f"ATE RMSE vs analytic GT: {ate_rmse(est, gt)*1000:.2f} mm")
+    elif args.gt:
+        from densemonoslam_tpu.eval import ate_rmse
+        from densemonoslam_tpu.io.datasets import load_freiburg_trajectory
+
+        _, gt_poses = load_freiburg_trajectory(args.gt)
+        est = [p for _, p in eng.frontends["cam0"].trajectory]
+        k = min(len(gt_poses), len(est))
+        print(f"ATE RMSE: {ate_rmse(est[:k], list(gt_poses[:k]))*1000:.2f} mm")
+
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        eng.save_trajectory("cam0", os.path.join(args.out, "trajectory.freiburg"))
+        n_ply = eng.save_ply("cam0", os.path.join(args.out, "map.ply"), stable_only=False)
+        eng.save_stats("cam0", os.path.join(args.out, "run.stats"))
+        eng.save_times(os.path.join(args.out, "timings.csv"))
+        print(f"exports in {args.out} (map: {n_ply} surfels)")
+    if args.checkpoint:
+        from densemonoslam_tpu.utils.checkpoint import save_frontend
+
+        save_frontend(args.checkpoint, eng.frontends["cam0"])
+        print(f"checkpoint: {args.checkpoint}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,70 @@
+"""Mid-session checkpoint / resume.
+
+The reference has NO mid-session checkpointing (SURVEY §5.4) — only
+end-of-session `.ply`/`.freiburg` exports — because its state lives in GL
+VBOs, CUDA buffers and host structs.  Here the entire SLAM state is a pytree
+of device arrays (`step.SlamState` + fern DB + pose/stats logs), so
+checkpointing is a dictionary of ndarrays: save with `numpy.savez`, restore
+with `device_put`.  A crashed or preempted session resumes bit-exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from densemonoslam_tpu import loops as loopsmod
+from densemonoslam_tpu import step as stepmod
+
+
+def save_frontend(path: str, fe) -> None:
+    """Serialise a frontend's full device state + host logs to one .npz."""
+    payload = {f"state_{k}": np.asarray(v) for k, v in fe.state._asdict().items()}
+    if fe.fern_state is not None:
+        payload.update(
+            {f"ferndb_{k}": np.asarray(v) for k, v in fe.fern_state.db._asdict().items()}
+        )
+        payload.update(
+            {f"coder_{k}": np.asarray(v) for k, v in fe.fern_state.coder._asdict().items()}
+        )
+    payload["pose_log"] = (
+        np.stack([np.asarray(p) for p in fe.pose_log])
+        if fe.pose_log
+        else np.zeros((0, 4, 4), np.float32)
+    )
+    payload["ts_log"] = np.asarray(fe.ts_log, np.float64)
+    payload["stats_log"] = (
+        np.stack([np.asarray(s) for s in fe.stats_log])
+        if fe.stats_log
+        else np.zeros((0, stepmod.N_STATS), np.float32)
+    )
+    payload["tick"] = np.asarray(fe.tick)
+    np.savez_compressed(path, **payload)
+
+
+def load_frontend(path: str, fe) -> None:
+    """Restore a frontend saved by `save_frontend` (in place)."""
+    z = np.load(path)
+    fe.state = stepmod.SlamState(
+        **{
+            k: jnp.asarray(z[f"state_{k}"])
+            for k in stepmod.SlamState._fields
+        }
+    )
+    if "ferndb_codes" in z:
+        from densemonoslam_tpu.mapping import ferns as fernmod
+
+        fe.fern_state = loopsmod.FernLoopState(
+            coder=fernmod.FernCoder(
+                **{k: jnp.asarray(z[f"coder_{k}"]) for k in fernmod.FernCoder._fields}
+            ),
+            db=fernmod.FernDB(
+                **{k: jnp.asarray(z[f"ferndb_{k}"]) for k in fernmod.FernDB._fields}
+            ),
+        )
+    fe.pose_log = [jnp.asarray(p) for p in z["pose_log"]]
+    fe.ts_log = list(z["ts_log"])
+    fe.stats_log = [jnp.asarray(s) for s in z["stats_log"]]
+    fe.tick = int(z["tick"])
