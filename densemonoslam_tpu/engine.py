@@ -108,6 +108,12 @@ class Engine:
         self.timer = Stopwatch()
         self._compact_interval = 64
         self._step_cache: Dict[Tuple, object] = {}
+        self._depth_predictor = None
+
+    def set_depth_predictor(self, predictor) -> None:
+        """Attach a monocular depth network (reference `DepthPrediction`,
+        used with `predict_depth=True` / `--predict_depth`)."""
+        self._depth_predictor = predictor
 
     # ------------------------------------------------------------------ API
     def frontend(self, name: str, sensor_id: Optional[int] = None) -> Frontend:
@@ -163,6 +169,13 @@ class Engine:
         keeps the device pipeline full)."""
         fe = self.frontends[name]
         t0 = self.timer.tick("frame_dispatch")
+        if depth_raw is None:
+            if not (self.config.predict_depth and self._depth_predictor is not None):
+                raise ValueError(
+                    "no depth given and no depth predictor attached "
+                    "(set predict_depth=True and call set_depth_predictor)"
+                )
+            depth_raw = self._depth_predictor.predict(jnp.asarray(rgb))
         use_in = in_pose is not None
         pose_in = jnp.asarray(
             in_pose if use_in else np.eye(4), jnp.float32

@@ -1,0 +1,159 @@
+"""Monocular depth prediction network ("normnet" equivalent).
+
+The reference runs a pre-trained ONNX depth CNN ("normnet_float{16,32}
+_opset12.onnx") through ONNX Runtime's CUDA EP to turn a single RGB stream
+into RGB-D for monocular/KITTI operation
+(`GUI/src/Tools/DepthPrediction.cpp:3-169`: input NCHW float RGB/255, output
+metric depth scaled x1000 to uint16 mm).  Here the network is a native
+flax/JAX model so it runs on the TPU inside the same jitted step as the rest
+of the pipeline — no runtime boundary, bf16-friendly:
+
+- a compact U-Net (strided conv encoder, skip-connected decoder) emitting
+  a disparity map through a sigmoid, converted to metric depth with the
+  monodepth convention ``depth = 1 / (min_disp + (max_disp-min_disp)*s)``;
+- weight I/O as npz (msgpack-free, dependency-free);
+- a supervised L1(+gradient) training step for fitting on RGB-D data — the
+  path for distilling a reference checkpoint or training on a dataset with
+  depth ground truth.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ConvBlock(nn.Module):
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride))(x)
+        x = nn.GroupNorm(num_groups=min(8, self.features))(x)
+        return nn.elu(x)
+
+
+class DepthNet(nn.Module):
+    """U-Net depth predictor.  `widths` controls capacity; the default is a
+    ~1.5M-parameter model suited to 1024x320 KITTI feeds."""
+
+    widths: Sequence[int] = (32, 64, 128, 256)
+    min_depth: float = 0.5
+    max_depth: float = 80.0
+
+    @nn.compact
+    def __call__(self, rgb: jnp.ndarray) -> jnp.ndarray:
+        """rgb f32 [B,H,W,3] in [0,1] -> metric depth [B,H,W]."""
+        skips = []
+        x = rgb
+        for w in self.widths:
+            x = ConvBlock(w)(x)
+            skips.append(x)
+            x = ConvBlock(w, stride=2)(x)
+        x = ConvBlock(self.widths[-1])(x)
+        for w, s in zip(reversed(self.widths), reversed(skips)):
+            B, H, W, C = s.shape
+            x = jax.image.resize(x, (x.shape[0], H, W, x.shape[-1]), "bilinear")
+            x = jnp.concatenate([x, s], axis=-1)
+            x = ConvBlock(w)(x)
+        disp = nn.sigmoid(nn.Conv(1, (3, 3))(x)[..., 0])
+        min_disp = 1.0 / self.max_depth
+        max_disp = 1.0 / self.min_depth
+        return 1.0 / (min_disp + (max_disp - min_disp) * disp)
+
+
+class DepthPredictor:
+    """Engine-facing wrapper (the reference `DepthPrediction` class): u8 RGB
+    frame in, metric f32 depth out, jitted per input shape."""
+
+    def __init__(
+        self,
+        params: Any | None = None,
+        widths: Sequence[int] = (32, 64, 128, 256),
+        min_depth: float = 0.5,
+        max_depth: float = 80.0,
+        seed: int = 0,
+    ):
+        self.net = DepthNet(widths=widths, min_depth=min_depth, max_depth=max_depth)
+        self._params = params
+        self._seed = seed
+        self._apply = jax.jit(
+            lambda p, x: self.net.apply({"params": p}, x)
+        )
+
+    def init_for(self, height: int, width: int) -> None:
+        if self._params is None:
+            key = jax.random.PRNGKey(self._seed)
+            dummy = jnp.zeros((1, height, width, 3), jnp.float32)
+            self._params = self.net.init(key, dummy)["params"]
+
+    @property
+    def params(self):
+        return self._params
+
+    def predict(self, rgb_u8: jnp.ndarray) -> jnp.ndarray:
+        """[H,W,3] u8 -> [H,W] metric depth."""
+        H, W, _ = rgb_u8.shape
+        self.init_for(H, W)
+        x = jnp.asarray(rgb_u8, jnp.float32)[None] / 255.0
+        return self._apply(self._params, x)[0]
+
+    # --- weight I/O --------------------------------------------------------
+    def save(self, path: str) -> None:
+        flat = jax.tree_util.tree_flatten_with_path(self._params)[0]
+        np.savez_compressed(
+            path,
+            **{
+                "/".join(str(k.key) for k in ks): np.asarray(v)
+                for ks, v in flat
+            },
+        )
+
+    def load(self, path: str, height: int, width: int) -> None:
+        self.init_for(height, width)
+        z = np.load(path)
+        flat, treedef = jax.tree_util.tree_flatten_with_path(self._params)
+        new_leaves = []
+        for ks, v in flat:
+            name = "/".join(str(k.key) for k in ks)
+            new_leaves.append(jnp.asarray(z[name]))
+        self._params = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(self._params), new_leaves
+        )
+
+
+def l1_depth_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Masked L1 + edge-aware smoothness-ish gradient matching."""
+    valid = gt > 0
+    l1 = jnp.abs(pred - gt) * valid
+    gx_p = jnp.abs(pred[:, :, 1:] - pred[:, :, :-1])
+    gx_g = jnp.abs(gt[:, :, 1:] - gt[:, :, :-1])
+    gy_p = jnp.abs(pred[:, 1:] - pred[:, :-1])
+    gy_g = jnp.abs(gt[:, 1:] - gt[:, :-1])
+    grad = jnp.mean(jnp.abs(gx_p - gx_g)) + jnp.mean(jnp.abs(gy_p - gy_g))
+    return jnp.sum(l1) / jnp.maximum(jnp.sum(valid), 1.0) + 0.5 * grad
+
+
+def make_train_step(net: DepthNet, optimizer):
+    """Supervised training step (for distillation / RGB-D fitting)."""
+
+    @jax.jit
+    def step(params, opt_state, rgb, depth_gt):
+        def loss_fn(p):
+            pred = net.apply({"params": p}, rgb)
+            return l1_depth_loss(pred, depth_gt)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step

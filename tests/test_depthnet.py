@@ -1,0 +1,103 @@
+"""Depth network tests: shapes, training convergence on the synthetic scene,
+weight round-trip, and the monocular engine path."""
+
+import numpy as np
+import optax
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from densemonoslam_tpu.config import CameraConfig, CameraIntrinsics, FrameResolution
+from densemonoslam_tpu.io.synthetic import SyntheticSequence
+from densemonoslam_tpu.models.depthnet import (
+    DepthNet,
+    DepthPredictor,
+    make_train_step,
+)
+
+WIDTHS = (8, 16, 24)  # tiny net for CPU tests
+
+
+@pytest.fixture(scope="module")
+def seq():
+    res = FrameResolution(64, 48)
+    cam = CameraConfig(res, CameraIntrinsics(52.0, 52.0, 31.5, 23.5), "tiny")
+    return SyntheticSequence(camera=cam, num_frames=12, radius=0.3, max_angle=0.25)
+
+
+def test_predictor_shapes_and_range(seq):
+    pred = DepthPredictor(widths=WIDTHS, min_depth=0.3, max_depth=10.0)
+    rgb, _ = seq.frame(0)
+    d = pred.predict(jnp.asarray(rgb))
+    assert d.shape == (48, 64)
+    d = np.asarray(d)
+    assert np.all(d >= 0.3 - 1e-3) and np.all(d <= 10.0 + 1e-3)
+
+
+def test_training_learns_synthetic_depth(seq):
+    """A few hundred supervised steps on the box-room frames must cut the
+    depth error far below the untrained baseline — verifies gradients flow
+    through the whole decoder."""
+    net = DepthNet(widths=WIDTHS, min_depth=0.3, max_depth=10.0)
+    rgbs = []
+    gts = []
+    for i in range(8):
+        rgb, depth = seq.frame(i)
+        rgbs.append(rgb.astype(np.float32) / 255.0)
+        gts.append(depth)
+    rgb_b = jnp.asarray(np.stack(rgbs))
+    gt_b = jnp.asarray(np.stack(gts))
+    params = net.init(jax.random.PRNGKey(0), rgb_b[:1])["params"]
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+    step = make_train_step(net, opt)
+    loss0 = None
+    for it in range(400):
+        params, opt_state, loss = step(params, opt_state, rgb_b, gt_b)
+        if it == 0:
+            loss0 = float(loss)
+    assert float(loss) < 0.5 * loss0, (loss0, float(loss))
+    # fitted-frame error clearly better than predicting the mean depth
+    # (true held-out generalisation needs far more data than a unit test)
+    rgb, depth = seq.frame(0)
+    pred = net.apply({"params": params}, jnp.asarray(rgb[None], jnp.float32) / 255.0)[0]
+    err = float(jnp.mean(jnp.abs(pred - depth)))
+    base = float(np.mean(np.abs(depth.mean() - depth)))
+    assert err < base, (err, base)
+
+
+def test_weight_roundtrip(tmp_path, seq):
+    p1 = DepthPredictor(widths=WIDTHS, seed=1)
+    rgb, _ = seq.frame(0)
+    d1 = np.asarray(p1.predict(jnp.asarray(rgb)))
+    path = str(tmp_path / "w.npz")
+    p1.save(path)
+    p2 = DepthPredictor(widths=WIDTHS, seed=2)  # different init
+    p2.load(path, 48, 64)
+    d2 = np.asarray(p2.predict(jnp.asarray(rgb)))
+    np.testing.assert_allclose(d1, d2, atol=1e-6)
+
+
+def test_engine_monocular_mode(seq):
+    """`predict_depth` mode: the engine consumes RGB only, depth comes from
+    the network (reference `--predict_depth` KITTI path).  With an untrained
+    net the geometry is wrong but the plumbing must hold together."""
+    from densemonoslam_tpu.config import EngineConfig
+    from densemonoslam_tpu.engine import Engine
+
+    cfg = EngineConfig(
+        max_surfels=1 << 15,
+        depth_cutoff=10.0,
+        depth_factor=1.0,
+        nid_keyframing=False,
+        open_loop=True,
+        predict_depth=True,
+    )
+    eng = Engine(seq.camera, cfg)
+    eng.frontend("cam0")
+    eng.set_depth_predictor(DepthPredictor(widths=WIDTHS, min_depth=0.3, max_depth=10.0))
+    for i in range(3):
+        rgb, _ = seq.frame(i)
+        info = eng.process_frame("cam0", rgb, None, float(i))
+    assert eng.surfel_count("cam0") > 500
