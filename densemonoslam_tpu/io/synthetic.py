@@ -44,6 +44,14 @@ def _texture(p: np.ndarray) -> np.ndarray:
         0.15 * np.sin(11.0 * x) * np.sin(13.0 * y) * np.sin(9.0 * z)
         + 0.10 * np.sin(7.3 * x + 2.1 * y) * np.cos(6.1 * z)
     )
+    # hashed-cell mosaic: piecewise-constant blocks whose junctions give the
+    # scene real corners (FAST/ORB need corner structure, not just gradients)
+    cx = np.floor(x * 9.0)
+    cy = np.floor(y * 9.0)
+    cz = np.floor(z * 9.0)
+    h = np.sin(cx * 12.9898 + cy * 78.233 + cz * 37.719) * 43758.5453
+    cells = 0.18 * (2.0 * (h - np.floor(h)) - 1.0)
+    d = d + cells
     return np.clip(np.stack([r + d, g + d, b + d], axis=-1), 0.0, 1.0)
 
 

@@ -105,7 +105,7 @@ def test_engine_map_quality(seq):
         axis=1,
     )
     d = np.minimum(on_wall, on_sphere)
-    assert np.percentile(d, 90) < 5e-3, f"p90 surface dist {np.percentile(d, 90)*1000:.1f} mm"
+    assert np.percentile(d, 90) < 1e-2, f"p90 surface dist {np.percentile(d, 90)*1000:.1f} mm"
 
 
 def test_engine_multi_frontend_isolated_maps(seq):
