@@ -53,6 +53,7 @@ class Frontend:
     fern_state: Optional[loopsmod.FernLoopState] = None
     loops_closed: int = 0
     last_loop_info: Optional[loopsmod.LoopInfo] = None
+    sparse_tracker: Optional[object] = None
 
     @property
     def pose(self) -> np.ndarray:
@@ -169,6 +170,36 @@ class Engine:
         keeps the device pipeline full)."""
         fe = self.frontends[name]
         t0 = self.timer.tick("frame_dispatch")
+        cfg = self.config
+        if cfg.orb_tracking and in_pose is None:
+            # hybrid mode: the sparse tracker supplies the pose (reference
+            # `--orb_tracking`, MainController.cpp:338-359)
+            if fe.sparse_tracker is None:
+                from densemonoslam_tpu.tracking.sparse import SparseTracker
+
+                fe.sparse_tracker = SparseTracker(fe.camera.intrinsics)
+                fe.sparse_tracker.pose = np.asarray(fe.state.pose)
+            inten = (
+                0.299 * jnp.asarray(rgb[..., 0], jnp.float32)
+                + 0.587 * jnp.asarray(rgb[..., 1], jnp.float32)
+                + 0.114 * jnp.asarray(rgb[..., 2], jnp.float32)
+            )
+            d_m = jnp.asarray(depth_raw, jnp.float32) / cfg.depth_factor
+            sp_pose, sp_ok = fe.sparse_tracker.track(inten, d_m)
+            if sp_ok:
+                in_pose = sp_pose
+            if cfg.hybrid_loops:
+                pair = fe.sparse_tracker.pop_loop()
+                if pair is not None:
+                    pose_est, pose_corr = pair
+                    C = pose_corr @ np.linalg.inv(pose_est)
+                    fe.state, linfo = loopsmod.apply_hybrid_loop(
+                        fe.state, C.astype(np.float32), fe.camera, cfg
+                    )
+                    fe.last_loop_info = linfo
+                    if linfo.closed:
+                        fe.loops_closed += 1
+                        fe.sparse_tracker.pose = np.asarray(fe.state.pose)
         if depth_raw is None:
             if not (self.config.predict_depth and self._depth_predictor is not None):
                 raise ValueError(
@@ -201,7 +232,6 @@ class Engine:
             )
             fe.state = fe.state._replace(map_data=m.data, map_count=m.count)
         # ---- loop closure / place recognition at host cadence -------------
-        cfg = self.config
         if (
             not cfg.open_loop
             and fe.tick % cfg.loop_check_interval == 0

@@ -213,3 +213,71 @@ def update_ferns(
 
 def fern_recovery_pose(fs: FernLoopState, idx: int) -> np.ndarray:
     return np.asarray(fs.db.poses[idx])
+
+
+def apply_hybrid_loop(
+    state: stepmod.SlamState,
+    correction: np.ndarray,  # [4,4] world-frame transform: corrected = C @ current
+    camera: CameraConfig,
+    cfg: EngineConfig,
+) -> Tuple[stepmod.SlamState, LoopInfo]:
+    """Global loop closure driven by an external (sparse-tracker) pose pair
+    (reference hybrid path, `ElasticFusion.cpp:292-355`: an ORB loop-closure
+    candidate supplies orbTcwOld/orbTcwNew; surface constraints built on a
+    sparse grid of the predicted view drive the *global* deformation with the
+    old epoch anchored).
+
+    `correction` is the world-frame rigid transform mapping the current
+    (drifted) layout onto the loop-consistent one: it comes from the sparse
+    tracker's (pose_estimate, pose_corrected) pair as
+    ``C = pose_corrected @ inv(pose_estimate)``.
+    """
+    intr = camera.intrinsics
+    W, H = camera.resolution.width, camera.resolution.height
+    t_now = int(state.tick)
+    C = jnp.asarray(correction, jnp.float32)
+
+    pred_act = splat.render(
+        state.map_data, state.map_count, state.pose, intr, W, H,
+        t_now, time_delta=cfg.time_delta, mode=splat.MODE_ACTIVE,
+    )
+    pred_in = splat.render(
+        state.map_data, state.map_count, state.pose, intr, W, H,
+        t_now, time_delta=cfg.time_delta, mode=splat.MODE_INACTIVE,
+    )
+    stride = cfg.loop_constraint_stride
+    src_cam = pred_act.vmap[::stride, ::stride].reshape(-1, 3)
+    t_src = pred_act.time[::stride, ::stride].reshape(-1)
+    valid = src_cam[:, 2] > 0
+    src_w = se3.transform_points(state.pose, src_cam)
+    dst_w = se3.transform_points(C, src_w)
+    pin_cam = pred_in.vmap[::stride, ::stride].reshape(-1, 3)
+    t_pin = pred_in.time[::stride, ::stride].reshape(-1)
+    pin_w = se3.transform_points(state.pose, pin_cam)
+    pin_ok = pin_cam[:, 2] > 0
+    cons = dg.Constraint(
+        src=jnp.concatenate([src_w, pin_w]),
+        dst=jnp.concatenate([dst_w, pin_w]),
+        time=jnp.concatenate([t_src, t_pin]),
+        valid=jnp.concatenate([valid, pin_ok]),
+        pinned=jnp.concatenate([jnp.zeros_like(valid), jnp.ones_like(pin_ok)]),
+    )
+    graph = dg.sample_graph(
+        state.map_data, state.map_count,
+        max_nodes=cfg.max_deform_nodes,
+        sample_rate=cfg.deform_graph_sample_rate,
+    )
+    frozen = graph.time < (t_now - cfg.time_delta)
+    graph2, stats = dg.optimise(graph, cons, frozen=frozen)
+    cons_err = float(stats.mean_cons_error)
+    info = LoopInfo(True, False, 0.0, 1.0, 0.0, cons_err)
+    # the reference relaxes acceptance for hybrid/global matches
+    # (`Deformation.cpp:165`: meanConsError < 3e-4 && error < 0.12 on their
+    # units; we scale our gate by 2x vs local loops)
+    if cons_err > 2.0 * cfg.loop_cons_err_thresh:
+        return state, info
+    data = dg.apply_to_map(state.map_data, state.map_count, graph2)
+    new_pose = jnp.asarray(correction, jnp.float32) @ state.pose
+    data = _reactivate_in_view(data, state.map_count, new_pose, t_now)
+    state = state._replace(map_data=data, pose=new_pose)
+    return state, info._replace(closed=True)
