@@ -117,9 +117,7 @@ def main(argv=None) -> int:
     eng = Engine(camera, cfg)
     eng.frontend("cam0")
     if args.resume:
-        from densemonoslam_tpu.utils.checkpoint import load_frontend
-
-        load_frontend(args.resume, eng.frontends["cam0"])
+        eng.load_checkpoint("cam0", args.resume)
         print(f"resumed from {args.resume} at tick {eng.frontends['cam0'].tick}")
 
     for _ in range(args.skip):
@@ -168,9 +166,7 @@ def main(argv=None) -> int:
         eng.save_times(os.path.join(args.out, "timings.csv"))
         print(f"exports in {args.out} (map: {n_ply} surfels)")
     if args.checkpoint:
-        from densemonoslam_tpu.utils.checkpoint import save_frontend
-
-        save_frontend(args.checkpoint, eng.frontends["cam0"])
+        eng.save_checkpoint("cam0", args.checkpoint)
         print(f"checkpoint: {args.checkpoint}")
     return 0
 

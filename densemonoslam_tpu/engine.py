@@ -88,12 +88,15 @@ class Frontend:
 
 @dataclasses.dataclass
 class MapBackend:
-    """Per-map bookkeeping (reference `ReferenceFrame`).  The surfel tensor
-    itself lives in the owning frontend's device state; after a map merge
-    several frontends share one owner."""
+    """Per-map state (reference `ReferenceFrame`): owns the canonical surfel
+    tensor.  Frontends sharing this map have the arrays swapped into their
+    device `SlamState` for the duration of their step (zero-copy), and the
+    updated arrays land back here — that is how several cameras fuse into one
+    map after a merge (reference collaborative sessions)."""
 
     name: str
-    owner: str  # frontend whose SlamState holds the surfel tensor
+    map_data: object = None  # jnp [N+1, 16]
+    map_count: object = None  # jnp []
     contexts: List[str] = dataclasses.field(default_factory=list)
     deforms: int = 0
 
@@ -106,6 +109,7 @@ class Engine:
         self.config = config or EngineConfig()
         self.frontends: Dict[str, Frontend] = {}
         self.maps: Dict[str, MapBackend] = {}
+        self.global_tick = 0
         self.timer = Stopwatch()
         self._compact_interval = 64
         self._step_cache: Dict[Tuple, object] = {}
@@ -139,17 +143,20 @@ class Engine:
             map_name=name,
         )
         self.frontends[name] = fe
-        self.maps[name] = MapBackend(name=name, owner=name, contexts=[name])
+        self.maps[name] = MapBackend(
+            name=name,
+            map_data=fe.state.map_data,
+            map_count=fe.state.map_count,
+            contexts=[name],
+        )
         return fe
 
     def backend_of(self, name: str) -> MapBackend:
         return self.maps[self.frontends[name].map_name]
 
     def map_of(self, map_name: str) -> sm.SurfelMap:
-        owner = self.frontends[self.maps[map_name].owner]
-        return sm.SurfelMap(
-            data=owner.state.map_data, count=owner.state.map_count
-        )
+        be = self.maps[map_name]
+        return sm.SurfelMap(data=be.map_data, count=be.map_count)
 
     def process_frame(
         self,
@@ -193,8 +200,15 @@ class Engine:
                 if pair is not None:
                     pose_est, pose_corr = pair
                     C = pose_corr @ np.linalg.inv(pose_est)
+                    be0 = self.backend_of(name)
+                    fe.state = fe.state._replace(
+                        map_data=be0.map_data, map_count=be0.map_count
+                    )
                     fe.state, linfo = loopsmod.apply_hybrid_loop(
                         fe.state, C.astype(np.float32), fe.camera, cfg
+                    )
+                    be0.map_data, be0.map_count = (
+                        fe.state.map_data, fe.state.map_count,
                     )
                     fe.last_loop_info = linfo
                     if linfo.closed:
@@ -211,6 +225,13 @@ class Engine:
         pose_in = jnp.asarray(
             in_pose if use_in else np.eye(4), jnp.float32
         )
+        be = self.backend_of(name)
+        # install the backend's canonical map + the shared session tick
+        fe.state = fe.state._replace(
+            map_data=be.map_data,
+            map_count=be.map_count,
+            tick=jnp.asarray(self.global_tick, jnp.int32),
+        )
         fe.state, stats = fe.step_fn(
             fe.state,
             jnp.asarray(rgb),
@@ -219,6 +240,8 @@ class Engine:
             jnp.asarray(use_in),
             jnp.asarray(self.config.fusion_weight_multiplier, jnp.float32),
         )
+        be.map_data, be.map_count = fe.state.map_data, fe.state.map_count
+        self.global_tick += 1
         # detach: the state (incl. its pose buffer) is donated into the next
         # step call, so log a fresh buffer, not the state's own
         fe.pose_log.append(fe.state.pose + 0.0)
@@ -228,8 +251,9 @@ class Engine:
         self.timer.tock("frame_dispatch", t0)
         if fe.tick % self._compact_interval == 0:
             m = sm.compact(
-                sm.SurfelMap(data=fe.state.map_data, count=fe.state.map_count)
+                sm.SurfelMap(data=be.map_data, count=be.map_count)
             )
+            be.map_data, be.map_count = m.data, m.count
             fe.state = fe.state._replace(map_data=m.data, map_count=m.count)
         # ---- loop closure / place recognition at host cadence -------------
         if (
@@ -249,14 +273,18 @@ class Engine:
                 fe.fern_state, rgb, depth_m, intensity, fe.state.pose,
                 fe.tick, cfg.fern_thresh,
             )
-            if fe.tick > cfg.time_delta:
+            if self.global_tick > cfg.time_delta:
                 fe.state, linfo = loopsmod.try_local_loop(
                     fe.state, fe.camera, cfg
                 )
+                be.map_data, be.map_count = fe.state.map_data, fe.state.map_count
                 fe.last_loop_info = linfo
                 if linfo.closed:
                     fe.loops_closed += 1
-                    self.maps[fe.map_name].deforms += 1
+                    be.deforms += 1
+            # inter-map: other maps' fern DBs may recognise this view
+            if len({f.map_name for f in self.frontends.values()}) > 1:
+                self._try_intermap(name, rgb, depth_raw)
         if not sync:
             return {}
         row = np.asarray(stats)
@@ -313,8 +341,104 @@ class Engine:
         fe.finalize_stats()
         fe.stats.write(path)
 
+    def save_checkpoint(self, name: str, path: str) -> None:
+        from densemonoslam_tpu.utils.checkpoint import save_frontend
+
+        fe = self.frontends[name]
+        be = self.backend_of(name)
+        fe.state = fe.state._replace(map_data=be.map_data, map_count=be.map_count)
+        save_frontend(path, fe)
+
+    def load_checkpoint(self, name: str, path: str) -> None:
+        from densemonoslam_tpu.utils.checkpoint import load_frontend
+
+        fe = self.frontends[name]
+        load_frontend(path, fe)
+        be = self.backend_of(name)
+        be.map_data, be.map_count = fe.state.map_data, fe.state.map_count
+        self.global_tick = max(self.global_tick, fe.tick)
+
     def surfel_count(self, map_name: str) -> int:
         return int(self.map_of(map_name).count)
+
+    def _try_intermap(self, name: str, rgb: np.ndarray, depth_raw: np.ndarray) -> None:
+        """Attempt to localise this camera inside another map and merge the
+        maps on success (reference inter-map path, `ElasticFusion.cpp:597-631`:
+        `resolveRelativeTransformationFern` -> `consumeReferenceFrame`)."""
+        from densemonoslam_tpu import loops as loopsmod
+        from densemonoslam_tpu.tracking import odometry as odo
+
+        fe = self.frontends[name]
+        cfg = self.config
+        if fe.fern_state is None:
+            return
+        depth_m = jnp.asarray(depth_raw, jnp.float32) / cfg.depth_factor
+        rgb8 = jnp.asarray(rgb, jnp.float32)
+        from densemonoslam_tpu.mapping import ferns as fernmod
+
+        code = fernmod.encode(
+            fe.fern_state.coder,
+            fernmod.downsample_for_ferns(rgb8),
+            fernmod.downsample_for_ferns(depth_m),
+        )
+        frame_pyr = odo.build_frame_pyramid(
+            jnp.asarray(rgb), depth_m, fe.camera.intrinsics, cfg.pyramid_levels
+        )
+        for other_name, other_be in list(self.maps.items()):
+            if other_name == fe.map_name:
+                continue
+            other_fe = next(
+                (f for f in self.frontends.values()
+                 if f.map_name == other_name and f.fern_state is not None),
+                None,
+            )
+            if other_fe is None:
+                continue
+            pose_in_b, ok, info = loopsmod.resolve_intermap(
+                frame_pyr, code, other_fe.fern_state.db,
+                other_be.map_data, other_be.map_count, fe.camera, cfg,
+            )
+            if not ok:
+                continue
+            # T maps this camera's map coordinates into the other map's
+            T_ab = (pose_in_b @ np.linalg.inv(np.asarray(fe.state.pose))).astype(
+                np.float32
+            )
+            self.merge_into(fe.map_name, other_name, T_ab)
+            return
+
+    def merge_into(self, src_map: str, dst_map: str, T_ab: np.ndarray) -> None:
+        """Merge map `src_map` into `dst_map` with world transform T_ab
+        (reference `consumeReferenceFrame`)."""
+        from densemonoslam_tpu import loops as loopsmod
+
+        src = self.maps[src_map]
+        dst = self.maps[dst_map]
+        T = jnp.asarray(T_ab, jnp.float32)
+        dst.map_data, dst.map_count = loopsmod.merge_maps(
+            dst.map_data, dst.map_count, src.map_data, src.map_count, T
+        )
+        # move every member camera over: transform poses, switch map, merge ferns
+        dst_fe = next(
+            f for f in self.frontends.values() if f.map_name == dst_map
+        )
+        for f in self.frontends.values():
+            if f.map_name != src_map:
+                continue
+            f.state = f.state._replace(
+                pose=T @ f.state.pose,
+                kf_pose=T @ f.state.kf_pose,
+            )
+            if f.fern_state is not None and dst_fe.fern_state is not None:
+                dst_fe.fern_state = loopsmod.FernLoopState(
+                    coder=dst_fe.fern_state.coder,
+                    db=loopsmod.consume_ferns(
+                        dst_fe.fern_state.db, f.fern_state.db, T
+                    ),
+                )
+            f.map_name = dst_map
+            dst.contexts.append(f.name)
+        del self.maps[src_map]
 
     def relocalise(self, name: str, rgb: np.ndarray, depth_raw: np.ndarray) -> bool:
         """Fern relocalisation (reference lost-mode `Ferns::findFrame` path,

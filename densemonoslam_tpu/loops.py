@@ -281,3 +281,141 @@ def apply_hybrid_loop(
     data = _reactivate_in_view(data, state.map_count, new_pose, t_now)
     state = state._replace(map_data=data, pose=new_pose)
     return state, info._replace(closed=True)
+
+
+# ---------------------------------------------------------------------------
+# Inter-map (collaborative) merging — reference `ReferenceFrame`:
+# `resolveRelativeTransformationFern` (:34-119) finds another map's fern
+# keyframe matching the current view and ICP-refines the relative transform;
+# `consumeReferenceFrame` (:121-150) then transforms and absorbs the other
+# map's surfels, ferns, poses and constraints.
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _transform_rows(data_a: jnp.ndarray, count_a: jnp.ndarray, T: jnp.ndarray):
+    """Transform map A's live rows into another map's world frame and compact
+    them to the front.  Returns (rows [Na,16], n_alive)."""
+    Na = data_a.shape[0] - 1
+    rows = data_a[:-1]
+    idx = jnp.arange(Na)
+    alive = (rows[:, sm.CONF] > 0) & (idx < count_a)
+    pos = se3.transform_points(T, rows[:, sm.POS])
+    nrm = se3.rotate_vectors(T, rows[:, sm.NORMAL])
+    rows = rows.at[:, sm.POS].set(pos)
+    rows = rows.at[:, sm.NORMAL].set(nrm)
+    rows = rows.at[:, sm.CONF].set(jnp.where(alive, rows[:, sm.CONF], 0.0))
+    order = jnp.argsort(~alive, stable=True)
+    return rows[order], jnp.sum(alive.astype(jnp.int32))
+
+
+@jax.jit
+def merge_maps(
+    data_b: jnp.ndarray,
+    count_b: jnp.ndarray,
+    data_a: jnp.ndarray,
+    count_a: jnp.ndarray,
+    T_ab: jnp.ndarray,  # map-A world -> map-B world
+):
+    """Absorb map A into map B (reference `GlobalModel::consume` /
+    `mergePointClouds`): transform A's surfels by T_ab, append after B's
+    count, then re-sort the combined map by creation tick so the deformation
+    graph's time-ordered node sampling stays valid."""
+    Nb = data_b.shape[0] - 1
+    rows_a, n_alive = _transform_rows(data_a, count_a, T_ab)
+    S = min(rows_a.shape[0], Nb)
+    n_take = jnp.minimum(n_alive, jnp.maximum(Nb - count_b - 1, 0))
+    start = jnp.clip(count_b, 0, Nb - S)
+    off = count_b - start
+    existing = jax.lax.dynamic_slice(data_b, (start, 0), (S, 16))
+    i_rows = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)[:, 0]
+    keep = (i_rows >= off) & (i_rows - off < n_take)
+    packed = jnp.roll(rows_a[:S], off, axis=0)
+    blended = jnp.where(keep[:, None], packed, existing)
+    data = jax.lax.dynamic_update_slice(data_b, blended, (start, 0))
+    count = jnp.minimum(count_b + n_take, Nb).astype(jnp.int32)
+    # restore global temporal ordering (alive rows first, by init_time)
+    rows = data[:-1]
+    idx = jnp.arange(Nb)
+    alive = (rows[:, sm.CONF] > 0) & (idx < count)
+    key = jnp.where(alive, rows[:, sm.INIT_TIME], jnp.inf)
+    order = jnp.argsort(key, stable=True)
+    data = data.at[:-1].set(rows[order])
+    return data, count
+
+
+@jax.jit
+def consume_ferns(db_b: fernmod.FernDB, db_a: fernmod.FernDB, T_ab: jnp.ndarray) -> fernmod.FernDB:
+    """Absorb map A's fern keyframes into B's DB with poses transformed
+    (reference `Ferns::consume`, `Ferns.cpp:170-177`)."""
+    K = db_b.codes.shape[0]
+    room = K - db_b.count
+    take = jnp.minimum(db_a.count, room)
+    ka = db_a.codes.shape[0]
+    src_idx = jnp.arange(ka)
+    dest = jnp.where(src_idx < take, db_b.count + src_idx, K)  # K = drop
+
+    def put(arr_b, arr_a, transform=None):
+        vals = arr_a if transform is None else transform(arr_a)
+        return arr_b.at[dest].set(vals, mode="drop")
+
+    return fernmod.FernDB(
+        codes=put(db_b.codes, db_a.codes),
+        poses=put(db_b.poses, db_a.poses, lambda p: jnp.einsum("ij,kjl->kil", T_ab, p)),
+        intensity=put(db_b.intensity, db_a.intensity),
+        depth=put(db_b.depth, db_a.depth),
+        times=put(db_b.times, db_a.times),
+        count=db_b.count + take,
+    )
+
+
+def resolve_intermap(
+    frame_pyr,
+    fern_code: jnp.ndarray,
+    other_db: fernmod.FernDB,
+    other_map_data: jnp.ndarray,
+    other_map_count: jnp.ndarray,
+    camera: CameraConfig,
+    cfg: EngineConfig,
+    dissim_thresh: float = 0.45,
+):
+    """Try to localise the current frame inside ANOTHER map (reference
+    `resolveRelativeTransformationFern`): fern retrieval in the other map ->
+    render its model at the recovery pose -> dense ICP refinement -> gates.
+
+    Returns (pose_in_other_map [4,4] np, ok: bool, info dict)."""
+    intr = camera.intrinsics
+    W, H = camera.resolution.width, camera.resolution.height
+    idx, dis = fernmod.best_match(other_db, fern_code)
+    info = {"dissim": float(dis)}
+    if float(dis) > dissim_thresh:
+        return None, False, info
+    recovery = other_db.poses[idx]
+    pred = splat.render(
+        other_map_data, other_map_count, recovery, intr, W, H,
+        0, mode=splat.MODE_ALL,
+    )
+    coverage = float(jnp.mean((pred.depth > 0).astype(jnp.float32)))
+    info["coverage"] = coverage
+    if coverage < 0.2:
+        return None, False, info
+    model = odometry.build_model_pyramid(
+        pred.intensity, pred.vmap, pred.nmap, cfg.pyramid_levels
+    )
+    res = odometry.track(
+        model, frame_pyr, jnp.eye(4, dtype=jnp.float32), intr,
+        iterations=cfg.iterations_for_levels(),
+        icp_weight=cfg.icp_weight,
+        use_so3=True,
+    )
+    n_valid = float(jnp.sum((frame_pyr.vmap[0][..., 2] > 0).astype(jnp.float32)))
+    inlier_frac = float(res.icp_inliers) / max(n_valid, 1.0)
+    info.update(inlier_frac=inlier_frac, icp_error=float(res.icp_error))
+    if (
+        bool(res.failed)
+        or inlier_frac < cfg.loop_inlier_frac
+        or float(res.icp_error) > cfg.loop_icp_err_thresh
+    ):
+        return None, False, info
+    pose_in_b = np.asarray(recovery @ res.A)
+    return pose_in_b, True, info

@@ -37,40 +37,56 @@ def hat(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
-    """Rodrigues' formula exp: R^3 -> SO(3), with Taylor fallback near 0."""
+    """Rodrigues' formula exp: R^3 -> SO(3), with Taylor fallback near 0.
+
+    Dead-branch denominators are masked to 1 so autodiff through the untaken
+    branch stays finite (jvp at w=0 is the common case in GN pipelines)."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + _EPS * _EPS)
-    # sin(t)/t and (1-cos(t))/t^2 with series fallbacks
     small = theta2 < 1e-8
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
+    # sin(t)/t and (1-cos(t))/t^2 with series fallbacks
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     W = hat(w)
     eye = jnp.eye(3, dtype=w.dtype)
     return eye + a[..., None, None] * W + b[..., None, None] * (W @ W)
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """Log map SO(3) -> R^3 (rotation vector)."""
+    """Log map SO(3) -> R^3 (rotation vector).
+
+    Differentiable at the identity: `arccos` has an infinite derivative at 1
+    and `jnp.where` does not stop NaNs flowing from the untaken branch, so the
+    small-angle branch uses the series `scale = 1/2 + (1-c)/6 + ...` written
+    directly in terms of the (safe) cosine — jvp/vjp through pose-graph
+    residuals of near-satisfied edges stay finite."""
     trace = jnp.trace(R)
-    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
+    c = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    small = c > 1.0 - 1e-5
+    c_safe = jnp.where(small, 0.0, c)  # keeps arccos' finite in the dead branch
+    theta = jnp.arccos(c_safe)
     w_hat = jnp.stack(
         [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]], axis=-1
     )
-    small = theta < 1e-4
-    scale = jnp.where(small, 0.5 + theta * theta / 12.0, theta / (2.0 * jnp.sin(theta) + _EPS))
+    one_m_c = jnp.maximum(1.0 - c, 0.0)
+    # theta/(2 sin theta) ~= 1/2 + theta^2/12 + ...; theta^2 ~= 2(1-c)
+    scale_small = 0.5 + one_m_c / 6.0 + one_m_c * one_m_c * (7.0 / 90.0)
+    scale_big = theta / (2.0 * jnp.sin(theta) + _EPS)
+    scale = jnp.where(small, scale_small, scale_big)
     return scale * w_hat
 
 
 def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
-    """exp: R^6 (omega, v) -> SE(3) 4x4 matrix."""
+    """exp: R^6 (omega, v) -> SE(3) 4x4 matrix (autodiff-safe at 0)."""
     w, v = xi[..., :3], xi[..., 3:]
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + _EPS * _EPS)
     small = theta2 < 1e-8
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
-    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - a) / theta2)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
+    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - a) / theta2_safe)
     W = hat(w)
     W2 = W @ W
     eye = jnp.eye(3, dtype=xi.dtype)
@@ -85,17 +101,22 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
 
 
 def se3_log(T: jnp.ndarray) -> jnp.ndarray:
-    """Log map SE(3) -> R^6 (omega, v)."""
+    """Log map SE(3) -> R^6 (omega, v) (autodiff-safe at the identity)."""
     R, t = T[:3, :3], T[:3, 3]
     w = so3_log(R)
     theta2 = jnp.sum(w * w)
-    theta = jnp.sqrt(theta2 + _EPS * _EPS)
     small = theta2 < 1e-8
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     W = hat(w)
     # V^{-1} = I - 0.5 W + (1/theta^2)(1 - a/(2b)) W^2
-    coef = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0, (1.0 - a / (2.0 * b)) / theta2)
+    coef = jnp.where(
+        small,
+        1.0 / 12.0 + theta2 / 720.0,
+        (1.0 - a / (2.0 * jnp.maximum(b, 1e-12))) / theta2_safe,
+    )
     Vinv = jnp.eye(3, dtype=T.dtype) - 0.5 * W + coef * (W @ W)
     v = Vinv @ t
     return jnp.concatenate([w, v], axis=-1)

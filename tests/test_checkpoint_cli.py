@@ -44,11 +44,11 @@ def test_checkpoint_resume_bit_exact(seq, tmp_path):
     eng_b.frontends["cam0"].pose = seq.gt_pose(0).astype(np.float32)
     run(eng_b, 0, 8)
     ckpt = str(tmp_path / "state.npz")
-    save_frontend(ckpt, eng_b.frontends["cam0"])
+    eng_b.save_checkpoint("cam0", ckpt)
 
     eng_c = Engine(seq.camera, _cfg())
     eng_c.frontend("cam0")
-    load_frontend(ckpt, eng_c.frontends["cam0"])
+    eng_c.load_checkpoint("cam0", ckpt)
     assert eng_c.frontends["cam0"].tick == 8
     run(eng_c, 8, 16)
 

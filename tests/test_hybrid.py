@@ -71,7 +71,7 @@ def test_apply_hybrid_loop_folds_map(seq):
     for i in range(10):
         rgb, depth = seq.frame(i)
         eng.process_frame("cam0", rgb, depth, float(i), in_pose=seq.gt_pose(i).astype(np.float32))
-    fe.state = fe.state._replace(tick=jnp.asarray(100, jnp.int32))
+    eng.global_tick = 100  # epoch 1 becomes inactive
     for i in range(10):
         rgb, depth = seq.frame(i)
         pose = seq.gt_pose(i).astype(np.float32).copy()

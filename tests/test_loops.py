@@ -78,7 +78,7 @@ def test_local_loop_corrects_drift(seq):
         rgb, depth = seq.frame(i)
         eng.process_frame("cam0", rgb, depth, float(i), in_pose=seq.gt_pose(i).astype(np.float32))
     # jump the clock: epoch 1 becomes inactive
-    fe.state = fe.state._replace(tick=jnp.asarray(100, jnp.int32))
+    eng.global_tick = 100  # epoch 1 becomes inactive
     for i in range(10):
         rgb, depth = seq.frame(i)
         pose = seq.gt_pose(i).astype(np.float32).copy()
