@@ -1,0 +1,186 @@
+"""ctypes bindings for the native frame codec/transport library.
+
+The reference's IO runtime (klg decode, zlib/JPEG codecs, LCM transport) is
+C++; ours lives in `native/framecodec.cpp` and is loaded here via ctypes (no
+pybind11 in the deployment image).  Every entry point has a pure-Python
+fallback (zlib module + PIL) so the framework works before `make -C native`
+has run; `HAVE_NATIVE` tells callers which path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import zlib
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "libframecodec.so",
+)
+
+_lib = None
+if os.path.exists(_LIB_PATH):
+    try:
+        _lib = ctypes.CDLL(_LIB_PATH)
+        _lib.dms_zlib_compress.restype = ctypes.c_long
+        _lib.dms_zlib_decompress.restype = ctypes.c_long
+        _lib.dms_jpeg_decode.restype = ctypes.c_int
+        _lib.dms_jpeg_encode.restype = ctypes.c_long
+        _lib.dms_klg_scan.restype = ctypes.c_long
+        _lib.dms_klg_read_frame.restype = ctypes.c_int
+    except OSError:
+        _lib = None
+
+HAVE_NATIVE = _lib is not None
+
+
+def _buf(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def zlib_compress(data: np.ndarray) -> bytes:
+    raw = np.ascontiguousarray(data).view(np.uint8).reshape(-1)
+    if _lib is not None:
+        cap = len(raw) + len(raw) // 2 + 64
+        out = np.empty(cap, np.uint8)
+        n = _lib.dms_zlib_compress(_buf(raw), len(raw), _buf(out), cap)
+        if n > 0:
+            return out[:n].tobytes()
+    return zlib.compress(raw.tobytes(), 1)
+
+
+def zlib_decompress(data: bytes, out_bytes: int) -> np.ndarray:
+    if _lib is not None:
+        src = np.frombuffer(data, np.uint8)
+        out = np.empty(out_bytes, np.uint8)
+        n = _lib.dms_zlib_decompress(_buf(src), len(src), _buf(out), out_bytes)
+        if n == out_bytes:
+            return out
+    return np.frombuffer(zlib.decompress(data), np.uint8).copy()
+
+
+def jpeg_encode(rgb: np.ndarray, quality: int = 90) -> bytes:
+    h, w, _ = rgb.shape
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    if _lib is not None:
+        cap = w * h * 3 + 4096
+        out = np.empty(cap, np.uint8)
+        n = _lib.dms_jpeg_encode(_buf(rgb.reshape(-1)), w, h, quality, _buf(out), cap)
+        if n > 0:
+            return out[:n].tobytes()
+    import io
+
+    from PIL import Image
+
+    b = io.BytesIO()
+    Image.fromarray(rgb).save(b, "JPEG", quality=quality)
+    return b.getvalue()
+
+
+def jpeg_decode(data: bytes, max_w: int = 4096, max_h: int = 4096) -> np.ndarray:
+    if _lib is not None:
+        src = np.frombuffer(data, np.uint8)
+        out = np.empty(max_w * max_h * 3, np.uint8)
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        rc = _lib.dms_jpeg_decode(
+            _buf(src), len(src), _buf(out), max_w, max_h,
+            ctypes.byref(w), ctypes.byref(h),
+        )
+        if rc == 0:
+            return out[: w.value * h.value * 3].reshape(h.value, w.value, 3).copy()
+    import io
+
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), np.uint8)
+
+
+def klg_scan(path: str, max_frames: int = 100000):
+    """Scan a .klg log; returns (offsets, timestamps, depth_sizes, image_sizes)."""
+    if _lib is not None:
+        offs = np.zeros(max_frames, np.int64)
+        ts = np.zeros(max_frames, np.int64)
+        ds = np.zeros(max_frames, np.int32)
+        iz = np.zeros(max_frames, np.int32)
+        n = _lib.dms_klg_scan(
+            path.encode(),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            ts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ds.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            iz.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_frames,
+        )
+        if n >= 0:
+            return offs[:n], ts[:n], ds[:n], iz[:n]
+    # python fallback
+    offs, ts, ds, iz = [], [], [], []
+    with open(path, "rb") as f:
+        f.read(4)  # frame count header
+        while True:
+            off = f.tell()
+            head = f.read(16)
+            if len(head) < 16:
+                break
+            t = int.from_bytes(head[0:8], "little", signed=True)
+            d = int.from_bytes(head[8:12], "little", signed=True)
+            i = int.from_bytes(head[12:16], "little", signed=True)
+            offs.append(off)
+            ts.append(t)
+            ds.append(d)
+            iz.append(i)
+            f.seek(d + i, 1)
+    return (
+        np.asarray(offs, np.int64),
+        np.asarray(ts, np.int64),
+        np.asarray(ds, np.int32),
+        np.asarray(iz, np.int32),
+    )
+
+
+def klg_read_frame(
+    path: str,
+    offset: int,
+    depth_size: int,
+    image_size: int,
+    width: int,
+    height: int,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Read + decode one klg frame -> (depth u16 [H,W], rgb u8 [H,W,3] or None)."""
+    depth_bytes = width * height * 2
+    if _lib is not None:
+        depth = np.empty(depth_bytes, np.uint8)
+        rgb = np.empty(width * height * 3, np.uint8)
+        rc = _lib.dms_klg_read_frame(
+            path.encode(), offset, depth_size, image_size,
+            _buf(depth), depth_bytes, _buf(rgb), width * height * 3,
+            width, height,
+        )
+        if rc == 0:
+            d = depth.view(np.uint16).reshape(height, width).copy()
+            r = (
+                rgb.reshape(height, width, 3).copy() if image_size > 0 else None
+            )
+            return d, r
+    with open(path, "rb") as f:
+        f.seek(offset + 16)
+        dbuf = f.read(depth_size)
+        ibuf = f.read(image_size)
+    if depth_size == depth_bytes:
+        d = np.frombuffer(dbuf, np.uint16).reshape(height, width).copy()
+    else:
+        d = (
+            zlib_decompress(dbuf, depth_bytes)
+            .view(np.uint16)
+            .reshape(height, width)
+        )
+    r = None
+    if image_size == width * height * 3:
+        r = np.frombuffer(ibuf, np.uint8).reshape(height, width, 3).copy()
+    elif image_size > 0:
+        r = jpeg_decode(ibuf, width, height)
+    return d, r
