@@ -54,6 +54,9 @@ class Frontend:
     loops_closed: int = 0
     last_loop_info: Optional[loopsmod.LoopInfo] = None
     sparse_tracker: Optional[object] = None
+    lost: bool = False
+    consecutive_bad: int = 0
+    last_pose_np: Optional[np.ndarray] = None
 
     @property
     def pose(self) -> np.ndarray:
@@ -226,6 +229,15 @@ class Engine:
             in_pose if use_in else np.eye(4), jnp.float32
         )
         be = self.backend_of(name)
+        # velocity-based fusion weighting (reference ElasticFusion.cpp:252-268:
+        # fast motion downweights fusion)
+        weight = self.config.fusion_weight_multiplier
+        if fe.last_pose_np is not None:
+            vel = float(
+                np.linalg.norm(np.asarray(fe.state.pose)[:3, 3] - fe.last_pose_np[:3, 3])
+            )
+            weight = weight * float(np.clip(1.0 - vel / 0.3, 0.25, 1.0))
+        fe.last_pose_np = np.asarray(fe.state.pose)
         # install the backend's canonical map + the shared session tick
         fe.state = fe.state._replace(
             map_data=be.map_data,
@@ -238,7 +250,7 @@ class Engine:
             jnp.asarray(depth_raw, jnp.float32),
             pose_in,
             jnp.asarray(use_in),
-            jnp.asarray(self.config.fusion_weight_multiplier, jnp.float32),
+            jnp.asarray(weight, jnp.float32),
         )
         be.map_data, be.map_count = fe.state.map_data, fe.state.map_count
         self.global_tick += 1
@@ -285,6 +297,22 @@ class Engine:
             # inter-map: other maps' fern DBs may recognise this view
             if len({f.map_name for f in self.frontends.values()}) > 1:
                 self._try_intermap(name, rgb, depth_raw)
+        # lost-tracking state machine (reference `--rl`,
+        # ElasticFusion.cpp:204-244: >10 consecutive bad frames => lost;
+        # recovery via fern relocalisation)
+        if cfg.relocalisation:
+            row_rl = np.asarray(stats)
+            bad = row_rl[stepmod.STAT_TRACK_OK] < 1.0 or (
+                row_rl[stepmod.STAT_ICP_INL]
+                < 0.05 * fe.camera.resolution.num_pixels
+            )
+            fe.consecutive_bad = fe.consecutive_bad + 1 if bad else 0
+            if fe.consecutive_bad > 10:
+                fe.lost = True
+            if fe.lost and self.relocalise(name, rgb, depth_raw):
+                fe.lost = False
+                fe.consecutive_bad = 0
+
         if not sync:
             return {}
         row = np.asarray(stats)

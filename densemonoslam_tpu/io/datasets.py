@@ -200,3 +200,28 @@ def _quat_to_mat(qx, qy, qz, qw, t) -> np.ndarray:
     T[:3, :3] = R
     T[:3, 3] = t
     return T
+
+
+class GroundTruthOdometry:
+    """Timestamp-interpolated ground-truth pose server (reference
+    `GUI/src/Tools/GroundTruthOdometry.cpp:31-55`: loads a trajectory and
+    serves the pose nearest/interpolated at a query timestamp, used by the
+    `--poses` injection path)."""
+
+    def __init__(self, path: str):
+        self.ts, self.poses = load_freiburg_trajectory(path)
+
+    def pose_at(self, t: float) -> np.ndarray:
+        """Pose at timestamp t: nearest-neighbour below, linearly interpolated
+        translation and slerp-free (nearest) rotation for small steps."""
+        i = int(np.searchsorted(self.ts, t, side="right")) - 1
+        i = int(np.clip(i, 0, len(self.ts) - 1))
+        if i + 1 >= len(self.ts) or self.ts[i + 1] == self.ts[i]:
+            return self.poses[i]
+        a = (t - self.ts[i]) / (self.ts[i + 1] - self.ts[i])
+        a = float(np.clip(a, 0.0, 1.0))
+        T = self.poses[i].copy()
+        T[:3, 3] = (1 - a) * self.poses[i][:3, 3] + a * self.poses[i + 1][:3, 3]
+        if a > 0.5:
+            T[:3, :3] = self.poses[i + 1][:3, :3]
+        return T
