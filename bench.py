@@ -54,6 +54,7 @@ def main() -> None:
         nid_keyframing=True,
         nid_threshold=0.85,
         pyramid_levels=4,
+        track_row_stride=2,
     )
     eng = Engine(camera, cfg)
     eng.frontend("cam0")

@@ -145,6 +145,8 @@ class EngineConfig:
     depth_factor: float = 1000.0  # raw uint16 depth units per metre
     pyramid_levels: int = 3  # reference uses 3 at 640x480; use 4 at VGA+ for
     # larger inter-frame motion (coarsest level should be <= ~100 px wide)
+    track_row_stride: int = 1  # finest-level residual-row subsampling (2 at
+    # VGA+ quarters the dominant per-frame gather cost at negligible ATE cost)
 
     def iterations_for_levels(self) -> Tuple[int, ...]:
         """Per-level GN iteration budget, finest-first (reference

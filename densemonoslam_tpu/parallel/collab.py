@@ -3,128 +3,101 @@
 Replaces the reference's collaborative-session machinery — N `Context`s
 round-robined through one GPU with LCM transporting frames
 (`GUI/src/MainController.cpp:262-400`, `Tools/LcmHandler.h`) — with SPMD:
-the camera batch is sharded over the mesh `cam` axis via `shard_map`, each
-device tracking and fusing its own camera's stream into its own map shard,
-with cross-camera state exchanged by XLA collectives over ICI (here: a
-`psum`/`all_gather` of per-camera tracking statistics standing in for the
-pose-graph exchange; inter-map loop closures land with the deformation/fern
-modules).
+one camera per device on the mesh `cam` axis (the BASELINE "one camera
+stream per host" layout), each device running the FULL fused per-frame step
+(`step.make_step`: preprocess, predict, track, NID gate, fuse, clean) on its
+own camera and map shard.  Because each shard processes exactly one camera,
+the step's `lax.cond` fusion branch stays a real branch (vmapping it would
+degrade to a both-sides select).
+
+Cross-camera state rides ICI collectives: per-camera stats are all-gathered
+so every host sees session health, and the global surfel total is a psum —
+the SPMD analogue of the reference's shared stats/GUI state.  Inter-map loop
+closures and merges use the host-side machinery in `densemonoslam_tpu.loops`.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from densemonoslam_tpu.config import CameraIntrinsics
-from densemonoslam_tpu.mapping import fusion
+from densemonoslam_tpu import step as stepmod
+from densemonoslam_tpu.config import CameraIntrinsics, EngineConfig
 from densemonoslam_tpu.mapping import surfel_map as sm
-from densemonoslam_tpu.ops import geometry, preprocess, splat
-from densemonoslam_tpu.tracking import odometry
-from densemonoslam_tpu.utils import se3
 
 
 class CollabState(NamedTuple):
-    """Per-camera SLAM state, batched on a leading `cam` axis."""
+    """Per-camera SLAM state batched on a leading `cam` axis (the batched
+    twin of `step.SlamState`)."""
 
     map_data: jnp.ndarray  # [B, N+1, 16]
     map_count: jnp.ndarray  # [B]
-    poses: jnp.ndarray  # [B, 4, 4]
+    pose: jnp.ndarray  # [B, 4, 4]
     tick: jnp.ndarray  # [B]
+    kf_pose: jnp.ndarray  # [B, 4, 4]
+    kf_intensity: jnp.ndarray  # [B, H, W]
+    kf_depth: jnp.ndarray  # [B, H, W]
+    kf_count: jnp.ndarray  # [B]
 
 
-def init_state(n_cams: int, capacity: int) -> CollabState:
+def init_state(n_cams: int, capacity: int, height: int, width: int) -> CollabState:
+    one = stepmod.init_state(capacity, height, width)
     return CollabState(
-        map_data=jnp.zeros((n_cams, capacity + 1, sm.COLS), jnp.float32),
-        map_count=jnp.zeros((n_cams,), jnp.int32),
-        poses=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (n_cams, 4, 4)),
-        tick=jnp.zeros((n_cams,), jnp.int32),
+        **{
+            k: jnp.broadcast_to(v, (n_cams,) + v.shape)
+            for k, v in one._asdict().items()
+        }
     )
-
-
-def _single_camera_step(
-    map_data, map_count, pose, tick, rgb, depth, intr: CameraIntrinsics, time_delta: int
-):
-    """One camera's track+fuse step (unbatched)."""
-    H, W, _ = rgb.shape
-    depth_m = preprocess.metricise_depth(depth, 1.0, 100.0)
-    vmap_f = geometry.backproject(depth_m, intr)
-    nmap_f = geometry.normal_map(vmap_f)
-    frame_pyr = odometry.build_frame_pyramid(rgb, depth_m, intr, 3)
-
-    pred = splat.render(
-        map_data, map_count, pose, intr, W, H, tick,
-        time_delta=time_delta, mode=splat.MODE_ACTIVE,
-    )
-    hole = pred.depth <= 0
-    model_int = jnp.where(hole, frame_pyr.intensity[0], pred.intensity)
-    model_v = jnp.where(hole[..., None], frame_pyr.vmap[0], pred.vmap)
-    model_n = jnp.where(hole[..., None], frame_pyr.nmap[0], pred.nmap)
-    model_pyr = odometry.build_model_pyramid(model_int, model_v, model_n, 3)
-    # bootstrap: skip tracking while the map is empty
-    res = odometry.track(model_pyr, frame_pyr, jnp.eye(4, dtype=jnp.float32), intr)
-    A = jnp.where(map_count > 0, res.A, jnp.eye(4, dtype=jnp.float32))
-    new_pose = pose @ A
-
-    m = sm.SurfelMap(data=map_data, count=map_count)
-    m, fstats = fusion.fuse(
-        m, vmap_f, nmap_f, rgb.astype(jnp.float32), new_pose, intr,
-        time=tick, time_delta=time_delta,
-    )
-    stats = jnp.stack(
-        [res.icp_error, res.icp_inliers, fstats.matched.astype(jnp.float32),
-         fstats.added.astype(jnp.float32)]
-    )
-    return m.data, m.count, new_pose, tick + 1, stats
 
 
 def make_collab_step(
-    mesh: Mesh, intr: CameraIntrinsics, height: int, width: int, time_delta: int = 200
+    mesh: Mesh,
+    intr: CameraIntrinsics,
+    height: int,
+    width: int,
+    config: EngineConfig | None = None,
 ):
-    """Build the jitted SPMD collaborative step for a given mesh.
+    """Build the jitted SPMD collaborative step (one camera per device)."""
+    cfg = config or EngineConfig(
+        max_surfels=1 << 14, depth_cutoff=100.0, depth_factor=1.0,
+        nid_keyframing=False, open_loop=True,
+    )
+    step = stepmod.make_step(intr, height, width, cfg)
 
-    Cameras are sharded over the `cam` axis; inside each shard `vmap` handles
-    multiple cameras per device.  After the local steps, per-camera stats are
-    all-gathered (ICI collective) so every host sees session-wide health —
-    the SPMD analogue of the reference's shared stats/GUI state.
-    """
-
-    def local(map_data, map_count, poses, tick, rgb, depth):
-        step = functools.partial(
-            _single_camera_step, intr=intr, time_delta=time_delta
+    def local(md, mc, pose, tick, kfp, kfi, kfd, kfc, rgb, depth):
+        # each shard holds exactly one camera: drop the leading axis
+        state = stepmod.SlamState(
+            map_data=md[0], map_count=mc[0], pose=pose[0], tick=tick[0],
+            kf_pose=kfp[0], kf_intensity=kfi[0], kf_depth=kfd[0],
+            kf_count=kfc[0],
         )
-        data, count, new_poses, new_tick, stats = jax.vmap(step)(
-            map_data, map_count, poses, tick, rgb, depth
+        new_state, stats = step(
+            state, rgb[0], depth[0],
+            jnp.eye(4, dtype=jnp.float32), jnp.asarray(False),
+            jnp.asarray(1.0, jnp.float32),
         )
-        # session-wide stats over ICI: every camera shard sees the global view
-        global_stats = jax.lax.all_gather(stats, "cam", tiled=True)
-        # global surfel total (psum over the camera axis)
-        total = jax.lax.psum(jnp.sum(count), "cam")
-        return data, count, new_poses, new_tick, global_stats, total
+        # session-wide views over ICI
+        global_stats = jax.lax.all_gather(stats, "cam")
+        total = jax.lax.psum(new_state.map_count, "cam")
+        out = tuple(v[None] for v in new_state)
+        return out + (global_stats, total)
 
     sharded = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("cam"), P("cam"), P("cam"), P("cam"), P("cam"), P("cam")),
-        out_specs=(P("cam"), P("cam"), P("cam"), P("cam"), P(), P()),
+        in_specs=(P("cam"),) * 10,
+        out_specs=(P("cam"),) * 8 + (P(), P()),
         check_rep=False,
     )
 
     @jax.jit
-    def step(state: CollabState, rgb_batch: jnp.ndarray, depth_batch: jnp.ndarray):
-        data, count, poses, tick, stats, total = sharded(
-            state.map_data, state.map_count, state.poses, state.tick,
-            rgb_batch, depth_batch,
-        )
-        return (
-            CollabState(map_data=data, map_count=count, poses=poses, tick=tick),
-            stats,
-            total,
-        )
+    def collab_step(state: CollabState, rgb_batch: jnp.ndarray, depth_batch: jnp.ndarray):
+        out = sharded(*state, rgb_batch, depth_batch)
+        new_state = CollabState(*out[:8])
+        return new_state, out[8], out[9]
 
-    return step
+    return collab_step

@@ -124,6 +124,7 @@ def make_step(
             rgb_only=cfg.rgb_only,
             pyramid=cfg.pyramid,
             use_so3=cfg.so3,
+            row_stride=cfg.track_row_stride,
         )
         tracked_pose = state.pose @ res.A
         tracking_ok = ~res.failed

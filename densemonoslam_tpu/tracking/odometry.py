@@ -212,12 +212,21 @@ def _gn_level(
     intr: CameraIntrinsics,
     icp_weight: float,
     rgb_only: bool,
+    row_stride: int = 1,
 ):
     """Gauss-Newton iterations at one pyramid level; returns (A, stats)."""
     i_c = frame.intensity[level]
     v_c, n_c = frame.vmap[level], frame.nmap[level]
     pack_m = model.pack[level]
     intr_l = intr.scaled(level)
+    if level == 0 and row_stride > 1:
+        # finest level: subsample the residual rows (77k constraints still
+        # over-determine 6 DoF by ~4 orders of magnitude); the model is
+        # still sampled at full resolution, only the row count shrinks —
+        # this is the single biggest per-frame cost lever on TPU
+        i_c = i_c[::row_stride, ::row_stride]
+        v_c = v_c[::row_stride, ::row_stride]
+        n_c = n_c[::row_stride, ::row_stride]
 
     def body(_, carry):
         A, _stats = carry
@@ -255,7 +264,10 @@ def _gn_level(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("intr", "iterations", "icp_weight", "rgb_only", "pyramid", "use_so3"),
+    static_argnames=(
+        "intr", "iterations", "icp_weight", "rgb_only", "pyramid", "use_so3",
+        "row_stride",
+    ),
 )
 def track(
     model: ModelPyramid,
@@ -267,6 +279,7 @@ def track(
     rgb_only: bool = False,
     pyramid: bool = True,
     use_so3: bool = True,
+    row_stride: int = 1,
 ) -> TrackResult:
     """Full multi-level tracking (reference
     `RGBDOdometry::getIncrementalTransformation`).
@@ -287,7 +300,8 @@ def track(
         if iters == 0 or (not pyramid and level != 0):
             continue
         A, stats = _gn_level(
-            model, frame, A, level, iters, intr, icp_weight, rgb_only
+            model, frame, A, level, iters, intr, icp_weight, rgb_only,
+            row_stride=row_stride,
         )
 
     icp_err, icp_inl, rgb_err, rgb_inl, JtJ = stats
