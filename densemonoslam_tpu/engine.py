@@ -369,6 +369,25 @@ class Engine:
         fe.finalize_stats()
         fe.stats.write(path)
 
+    def save_view_images(self, name: str, out_dir: str, prefix: str = "view") -> None:
+        """Export predicted RGB / depth / normal images at the current pose
+        (the reference GUI's `save_images` dumps of live vs predicted maps,
+        `MainController.cpp:667-731`) — the headless substitute for the
+        Pangolin viewer."""
+        import os
+
+        from PIL import Image
+
+        os.makedirs(out_dir, exist_ok=True)
+        pred = self.predict_view(name)
+        rgb = np.clip(np.asarray(pred.color), 0, 255).astype(np.uint8)
+        depth = np.asarray(pred.depth)
+        d_vis = np.clip(depth / max(depth.max(), 1e-6) * 255, 0, 255).astype(np.uint8)
+        nrm = ((np.asarray(pred.nmap) * 0.5 + 0.5) * 255).astype(np.uint8)
+        Image.fromarray(rgb).save(os.path.join(out_dir, f"{prefix}_rgb.png"))
+        Image.fromarray(d_vis).save(os.path.join(out_dir, f"{prefix}_depth.png"))
+        Image.fromarray(nrm).save(os.path.join(out_dir, f"{prefix}_normals.png"))
+
     def save_checkpoint(self, name: str, path: str) -> None:
         from densemonoslam_tpu.utils.checkpoint import save_frontend
 
