@@ -50,8 +50,21 @@ class GramStats(NamedTuple):
     inliers: jnp.ndarray  # scalar, number of rows that passed the gates
 
 
+import os
+
+_USE_PALLAS_GRAM = os.environ.get("DMS_PALLAS_GRAM") == "1"
+
+
 def gram(M: jnp.ndarray) -> jnp.ndarray:
-    """[P, C] masked rows -> [C, C] Gram matrix, f32 accumulation on the MXU."""
+    """[P, C] masked rows -> [C, C] Gram matrix, f32 accumulation on the MXU.
+
+    With DMS_PALLAS_GRAM=1 the hand-tiled Pallas streaming kernel
+    (`ops.pallas.gram`) is used instead of XLA's dot_general lowering —
+    bitwise-deterministic accumulation order, same math."""
+    if _USE_PALLAS_GRAM:
+        from densemonoslam_tpu.ops.pallas.gram import gram_pallas
+
+        return gram_pallas(M)
     return jax.lax.dot_general(
         M, M, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )

@@ -119,3 +119,43 @@ def test_loop_candidate_on_revisit(seq):
     # corrected pose should be consistent with GT at that frame
     terr = np.linalg.norm(pose_corr[:3, 3] - seq.gt_pose(i)[:3, 3])
     assert terr < 0.15, terr
+
+
+def test_global_registration_wide_baseline(seq):
+    """FGR-role test: align two frames ~0.3 m / ~15 deg apart with NO initial
+    guess (far outside projective-ICP convergence)."""
+    from densemonoslam_tpu.tracking import registration
+
+    ia, da = _frame(seq, 0)
+    ib, db = _frame(seq, 5)
+    T, n_inl, rms = registration.global_registration(
+        ia, da, ib, db, seq.camera.intrinsics
+    )
+    assert n_inl > 30, n_inl
+    assert rms < 0.05, rms
+    T_gt = np.linalg.inv(seq.gt_pose(5)) @ seq.gt_pose(0)  # a-cam -> b-cam
+    d = np.linalg.inv(np.asarray(T)) @ T_gt
+    terr = np.linalg.norm(d[:3, 3])
+    rerr = np.arccos(np.clip((np.trace(d[:3, :3]) - 1) / 2, -1, 1))
+    assert terr < 0.03, terr
+    assert rerr < 0.03, rerr
+
+
+def test_gnc_rejects_outliers(rng):
+    """Half the correspondences are garbage; GNC must still find the rigid
+    transform from the inlier set."""
+    from densemonoslam_tpu.tracking import registration
+    from densemonoslam_tpu.utils import se3
+
+    n = 200
+    P = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    T_gt = np.asarray(
+        se3.se3_exp(jnp.asarray([0.3, -0.2, 0.4, 0.5, -0.3, 0.2], jnp.float32))
+    )
+    Q = (T_gt[:3, :3] @ P.T).T + T_gt[:3, 3]
+    Q[: n // 2] = rng.uniform(-2, 2, (n // 2, 3))  # 50% outliers
+    T, n_inl, rms = registration.gnc_rigid_align(
+        jnp.asarray(P), jnp.asarray(Q.astype(np.float32)), jnp.ones(n, bool)
+    )
+    assert n_inl >= n // 2 - 5
+    np.testing.assert_allclose(np.asarray(T), T_gt, atol=5e-3)
