@@ -56,7 +56,6 @@ class Frontend:
     sparse_tracker: Optional[object] = None
     lost: bool = False
     consecutive_bad: int = 0
-    last_pose_np: Optional[np.ndarray] = None
 
     @property
     def pose(self) -> np.ndarray:
@@ -229,15 +228,9 @@ class Engine:
             in_pose if use_in else np.eye(4), jnp.float32
         )
         be = self.backend_of(name)
-        # velocity-based fusion weighting (reference ElasticFusion.cpp:252-268:
-        # fast motion downweights fusion)
+        # (velocity-based fusion weighting happens on device inside the step —
+        # a host-side pose fetch here would force a sync every frame)
         weight = self.config.fusion_weight_multiplier
-        if fe.last_pose_np is not None:
-            vel = float(
-                np.linalg.norm(np.asarray(fe.state.pose)[:3, 3] - fe.last_pose_np[:3, 3])
-            )
-            weight = weight * float(np.clip(1.0 - vel / 0.3, 0.25, 1.0))
-        fe.last_pose_np = np.asarray(fe.state.pose)
         # install the backend's canonical map + the shared session tick
         fe.state = fe.state._replace(
             map_data=be.map_data,

@@ -131,6 +131,9 @@ def make_step(
         new_pose = jnp.where(first, state.pose, tracked_pose)
         new_pose = jnp.where(use_in_pose, in_pose, new_pose)
         ok = first | tracking_ok | use_in_pose
+        # velocity-based fusion weighting (reference ElasticFusion.cpp:252-268)
+        vel = jnp.linalg.norm(new_pose[:3, 3] - state.pose[:3, 3])
+        weight_mult = weight_mult * jnp.clip(1.0 - vel / 0.3, 0.25, 1.0)
 
         # ---------------- NID fuse gate -------------------------------
         if cfg.nid_keyframing:
