@@ -139,6 +139,12 @@ class EngineConfig:
     # --- capacity ----------------------------------------------------------
     max_surfels: int = 1 << 21  # reference: 5700^2 ~= 32.5M (GlobalModel.cpp:22-24)
     max_sensors: int = 3  # MAX_SENSORS/NUM_CAMERAS (Shaders/size.glsl)
+    # active tail-block size for the hot ACTIVE-mode passes (render for
+    # tracking, fusion, clean): per-frame cost scales with this, not with
+    # max_surfels.  Must comfortably exceed the surfels visible in one view
+    # (<= H*W) plus the time-window working set; compaction keeps the layout
+    # [inactive..., active...] so the block is a superset of the ACTIVE set.
+    active_window: int = 1 << 19
 
     # --- misc --------------------------------------------------------------
     fusion_weight_multiplier: float = 1.0  # per-frame weight scale (velocity-based)
@@ -147,6 +153,14 @@ class EngineConfig:
     # larger inter-frame motion (coarsest level should be <= ~100 px wide)
     track_row_stride: int = 1  # finest-level residual-row subsampling (2 at
     # VGA+ quarters the dominant per-frame gather cost at negligible ATE cost)
+    # stored-tracking-model refresh gates: the map is re-rendered (and the
+    # fill-in tracking model rebuilt) when fusing, when the camera moved this
+    # far from the model's render pose, or when the model is this many frames
+    # old — between refreshes, frames track against the stored model with a
+    # warm-started GN, skipping the per-frame map render entirely
+    model_trans_delta: float = 0.08  # metres
+    model_rot_delta: float = 0.06  # radians (~3.4 deg)
+    model_max_age: int = 16  # frames
 
     def iterations_for_levels(self) -> Tuple[int, ...]:
         """Per-level GN iteration budget, finest-first (reference

@@ -140,7 +140,10 @@ class Engine:
             name=name,
             sensor_id=sensor_id,
             camera=self.camera,
-            state=stepmod.init_state(self.config.max_surfels, res.height, res.width),
+            state=stepmod.init_state(
+                self.config.max_surfels, res.height, res.width,
+                levels=self.config.pyramid_levels,
+            ),
             step_fn=self._step_cache[key],
             map_name=name,
         )
@@ -255,8 +258,13 @@ class Engine:
         fe.tick += 1
         self.timer.tock("frame_dispatch", t0)
         if fe.tick % self._compact_interval == 0:
+            # reclaims culled slots AND re-partitions [inactive..., active...]
+            # so the hot passes' tail block stays a superset of the ACTIVE set
             m = sm.compact(
-                sm.SurfelMap(data=be.map_data, count=be.map_count)
+                sm.SurfelMap(data=be.map_data, count=be.map_count),
+                time=float(self.global_tick),
+                time_delta=self.config.time_delta,
+                stale_conf_threshold=self.config.confidence_threshold,
             )
             be.map_data, be.map_count = m.data, m.count
             fe.state = fe.state._replace(map_data=m.data, map_count=m.count)
@@ -468,6 +476,7 @@ class Engine:
             f.state = f.state._replace(
                 pose=T @ f.state.pose,
                 kf_pose=T @ f.state.kf_pose,
+                model_age=jnp.asarray(stepmod.MODEL_INVALID_AGE, jnp.int32),
             )
             if f.fern_state is not None and dst_fe.fern_state is not None:
                 dst_fe.fern_state = loopsmod.FernLoopState(
@@ -507,6 +516,7 @@ class Engine:
         if float(photo) > cfg.photo_thresh:
             return False
         fe.state = fe.state._replace(
-            pose=fe.fern_state.db.poses[idx]
+            pose=fe.fern_state.db.poses[idx],
+            model_age=jnp.asarray(stepmod.MODEL_INVALID_AGE, jnp.int32),
         )
         return True

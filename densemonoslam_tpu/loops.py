@@ -172,7 +172,12 @@ def try_local_loop(
     data = dg.apply_to_map(state.map_data, state.map_count, graph2)
     new_pose = dg.apply_to_pose(graph2, state.pose, float(t_now))
     data = _reactivate_in_view(data, state.map_count, new_pose, t_now)
-    state = state._replace(map_data=data, pose=new_pose)
+    # the map (and pose) changed under the stored tracking model:
+    # force a re-render on the next step
+    state = state._replace(
+        map_data=data, pose=new_pose,
+        model_age=jnp.asarray(stepmod.MODEL_INVALID_AGE, jnp.int32),
+    )
     return state, info._replace(closed=True)
 
 
@@ -279,7 +284,12 @@ def apply_hybrid_loop(
     data = dg.apply_to_map(state.map_data, state.map_count, graph2)
     new_pose = jnp.asarray(correction, jnp.float32) @ state.pose
     data = _reactivate_in_view(data, state.map_count, new_pose, t_now)
-    state = state._replace(map_data=data, pose=new_pose)
+    # the map (and pose) changed under the stored tracking model:
+    # force a re-render on the next step
+    state = state._replace(
+        map_data=data, pose=new_pose,
+        model_age=jnp.asarray(stepmod.MODEL_INVALID_AGE, jnp.int32),
+    )
     return state, info._replace(closed=True)
 
 

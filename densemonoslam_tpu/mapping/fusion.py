@@ -70,7 +70,7 @@ def _new_radius(z: jnp.ndarray, nz: jnp.ndarray, fx: float) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("intr", "time_delta", "splat_k"),
+    static_argnames=("intr", "time_delta", "splat_k", "window"),
     donate_argnames=("m",),
 )
 def fuse(
@@ -85,18 +85,53 @@ def fuse(
     weight_mult: jnp.ndarray | float = 1.0,
     time_delta: int = 200,
     splat_k: int = 3,
+    window: int = 0,
 ) -> Tuple[sm.SurfelMap, FuseStats]:
-    """Fuse one RGB-D frame into the map at `pose`."""
+    """Fuse one RGB-D frame into the map at `pose`.
+
+    `window` > 0 restricts association + update to the active tail block
+    (`splat.active_window_start`) — fusion only ever touches ACTIVE surfels
+    (the reference fuses against the ACTIVE-mode prediction only), so with
+    the compaction-maintained [inactive..., active...] layout the update pass
+    need not stream the whole map."""
+    # --- association render (reference predictIndices + data.vert search) --
+    pred = splat.render(
+        m.data, m.count, pose, intr, vmap_c.shape[1], vmap_c.shape[0],
+        jnp.asarray(time, jnp.float32),
+        time_delta=time_delta, mode=splat.MODE_ACTIVE, splat_k=splat_k,
+        window=window,
+    )
+    return fuse_with_pred(
+        m, pred, vmap_c, nmap_c, rgb_c, pose, intr, time, sensor=sensor,
+        weight_mult=weight_mult, splat_k=splat_k, window=window,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("intr", "splat_k", "window"),
+    donate_argnames=("m",),
+)
+def fuse_with_pred(
+    m: sm.SurfelMap,
+    pred: splat.Prediction,  # ACTIVE-mode prediction at `pose` (global indices)
+    vmap_c: jnp.ndarray,
+    nmap_c: jnp.ndarray,
+    rgb_c: jnp.ndarray,
+    pose: jnp.ndarray,
+    intr: CameraIntrinsics,
+    time: jnp.ndarray | int,
+    sensor: int = 0,
+    weight_mult: jnp.ndarray | float = 1.0,
+    splat_k: int = 3,
+    window: int = 0,
+) -> Tuple[sm.SurfelMap, FuseStats]:
+    """Fusion given an already-rendered association prediction (lets the
+    caller share one render between association and tracking fill-in)."""
     H, W, _ = vmap_c.shape
     HW = H * W
     N = m.capacity
     t_now = jnp.asarray(time, jnp.float32)
-
-    # --- association render (reference predictIndices + data.vert search) --
-    pred = splat.render(
-        m.data, m.count, pose, intr, W, H, t_now,
-        time_delta=time_delta, mode=splat.MODE_ACTIVE, splat_k=splat_k,
-    )
 
     z_f = vmap_c[..., 2]
     valid_f = (z_f > 0) & (jnp.linalg.norm(nmap_c, axis=-1) > 0.5)
@@ -125,8 +160,15 @@ def fuse(
     ).reshape(HW, 16)
 
     # --- pull pass: each surfel gathers contributions addressed to it ------
-    rows = m.data[:-1]
-    idx = jnp.arange(N)
+    if window > 0 and window < N:
+        start = splat.active_window_start(m.count, N, window)
+        rows = jax.lax.dynamic_slice(m.data, (start, 0), (window, sm.COLS))
+        n_rows = window
+    else:
+        start = jnp.array(0, jnp.int32)
+        rows = m.data[:-1]
+        n_rows = N
+    idx = start + jnp.arange(n_rows)  # global row ids (payload indices are global)
     alive = (rows[:, sm.CONF] > 0) & (idx < m.count)
     Tinv = se3.se3_inverse(pose)
     p_s = se3.transform_points(Tinv, rows[:, sm.POS])
@@ -138,7 +180,7 @@ def fuse(
     vi = jnp.clip(jnp.round(v_s).astype(jnp.int32), 0, H - 1)
     in_view = alive & (z_s > 0.05) & (u_s >= 0) & (u_s <= W - 1) & (v_s >= 0) & (v_s <= H - 1)
 
-    sum_pay = jnp.zeros((N, 16), jnp.float32)
+    sum_pay = jnp.zeros((n_rows, 16), jnp.float32)
     half = splat_k // 2
     for dy in range(-half, half + 1):
         for dx in range(-half, half + 1):
@@ -168,7 +210,6 @@ def fuse(
     )
     new_rad = rows[:, sm.RADIUS] * (1 - blend[:, 0]) + mean_r * blend[:, 0]
 
-    data = m.data
     upd = jnp.concatenate(
         [
             new_pos,
@@ -182,11 +223,10 @@ def fuse(
         ],
         axis=-1,
     )
-    data = data.at[:-1].set(jnp.where(touched[:, None], upd, rows))
     seen_col = 12 + sensor
-    data = data.at[:-1, seen_col].set(
-        jnp.where(touched, t_now, data[:-1, seen_col])
-    )
+    upd = upd.at[:, seen_col].set(t_now)
+    blk = jnp.where(touched[:, None], upd, rows)
+    data = jax.lax.dynamic_update_slice(m.data, blk, (start, 0))
 
     # --- insertion of unmatched pixels (contiguous compact-append) ---------
     is_new = (valid_f & ~matched).reshape(HW)
@@ -231,7 +271,7 @@ def fuse(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("intr", "conf_threshold"),
+    static_argnames=("intr", "conf_threshold", "window"),
     donate_argnames=("m",),
 )
 def clean(
@@ -242,6 +282,7 @@ def clean(
     time: jnp.ndarray | int,
     conf_threshold: float = 10.0,
     unstable_ttl: int = UNSTABLE_TTL,
+    window: int = 0,
 ) -> Tuple[sm.SurfelMap, jnp.ndarray]:
     """Cull bad surfels (reference `copy_unstable.vert` outlier logic):
 
@@ -255,8 +296,18 @@ def clean(
     """
     H, W = depth_frame.shape
     t_now = jnp.asarray(time, jnp.float32)
-    rows = m.data[:-1]
-    idx = jnp.arange(m.capacity)
+    N = m.capacity
+    if window > 0 and window < N:
+        # unstable + free-space-violating surfels are recent observations =>
+        # they live in the active tail block (layout kept by compaction)
+        start = splat.active_window_start(m.count, N, window)
+        rows = jax.lax.dynamic_slice(m.data, (start, 0), (window, sm.COLS))
+        n_rows = window
+    else:
+        start = jnp.array(0, jnp.int32)
+        rows = m.data[:-1]
+        n_rows = N
+    idx = start + jnp.arange(n_rows)
     alive = (rows[:, sm.CONF] > 0) & (idx < m.count)
 
     Tinv = se3.se3_inverse(pose)
@@ -276,6 +327,6 @@ def clean(
     stale = unstable & (t_now - last > unstable_ttl)
 
     kill = alive & (stale | free_space)
-    conf = jnp.where(kill, 0.0, rows[:, sm.CONF])
-    data = m.data.at[:-1, sm.CONF].set(conf)
+    blk = rows.at[:, sm.CONF].set(jnp.where(kill, 0.0, rows[:, sm.CONF]))
+    data = jax.lax.dynamic_update_slice(m.data, blk, (start, 0))
     return sm.SurfelMap(data=data, count=m.count), jnp.sum(kill.astype(jnp.int32))

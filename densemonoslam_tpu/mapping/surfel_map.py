@@ -131,14 +131,43 @@ def append_surfels(
     return SurfelMap(data=data, count=new_count)
 
 
-@functools.partial(jax.jit, donate_argnames=("m",))
-def compact(m: SurfelMap) -> SurfelMap:
+@functools.partial(
+    jax.jit,
+    donate_argnames=("m",),
+    static_argnames=("time_delta", "stale_conf_threshold", "unstable_ttl"),
+)
+def compact(m: SurfelMap, time: jnp.ndarray | float | None = None,
+            time_delta: int = 0, stale_conf_threshold: float = 0.0,
+            unstable_ttl: int = 20) -> SurfelMap:
     """Compact live surfels to the front (reference: the copy_unstable pass
     simply skips culled surfels during feedback; with static shapes we sort by
     liveness instead — a stable argsort keeps temporal ordering, which the
-    deformation graph's time-sequential sampling relies on)."""
+    deformation graph's time-sequential sampling relies on).
+
+    With `time`/`time_delta` given, live rows are additionally partitioned
+    [inactive..., active...] (active = last seen within `time_delta` of
+    `time`, the reference's `splat.vert:60-66` window) so the hot ACTIVE-mode
+    passes can stream just the tail block (`splat.active_window_start`).
+    Inactive surfels are old and active ones recent, so the stable partition
+    still keeps rows approximately time-ordered within each group.
+
+    `stale_conf_threshold` > 0 additionally culls never-stabilised surfels not
+    refreshed within `unstable_ttl` ticks during the sweep — the whole-map
+    part of the reference copy_unstable outlier cull, which the per-frame
+    windowed `fusion.clean` can only apply to the active tail block."""
     alive = m.alive
-    order = jnp.argsort(~alive, stable=True)  # live rows first, order preserved
+    if time is None:
+        key = jnp.where(alive, 0, 1)  # live rows first, order preserved
+    else:
+        t_now = jnp.asarray(time, jnp.float32)
+        if stale_conf_threshold > 0:
+            stale = (m.data[:-1, CONF] < stale_conf_threshold) & (
+                t_now - last_seen_any(m) > unstable_ttl
+            )
+            alive = alive & ~stale
+        active = alive & (t_now - last_seen_any(m) < time_delta)
+        key = jnp.where(active, 1, jnp.where(alive, 0, 2))
+    order = jnp.argsort(key, stable=True)
     data = m.data.at[:-1].set(m.data[:-1][order])
     count = jnp.sum(alive.astype(jnp.int32))
     # zero the confidences of everything past the new count so stale rows

@@ -263,8 +263,13 @@ def combined_system(
     ``b_rgb + w^2 b_icp`` (the reference's ``w * b_icp`` under-weights the ICP
     gradient relative to its own Hessian by 1/w; we keep the consistent form
     and expose w as `icp_weight`).  `rgb_scale` normalises intensity units."""
-    G_icp = unpack_gram(gram(M_icp))
-    G_rgb = unpack_gram(gram(M_rgb))
+    # ONE [P,16] Gram instead of two [P,8] ones: the diagonal 8x8 blocks are
+    # exactly gram(M_icp) and gram(M_rgb) (the cross block is unused).  Both
+    # shapes pad to the same 128-lane MXU tile, so this halves the matmul
+    # count for free.
+    G = gram(jnp.concatenate([M_icp, M_rgb], axis=-1))
+    G_icp = unpack_gram(G[:8, :8])
+    G_rgb = unpack_gram(G[8:, 8:])
     w2 = icp_weight * icp_weight
     JtJ = rgb_scale * G_rgb.JtJ + w2 * G_icp.JtJ
     Jtr = rgb_scale * G_rgb.Jtr + w2 * G_icp.Jtr
@@ -315,13 +320,29 @@ class ModelSample(NamedTuple):
     inb: jnp.ndarray  # [P] bool in-bounds
 
 
-def sample_model(pack: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> ModelSample:
-    """Sample the packed model at float pixel coords (u, v) [P]."""
+def sample_model(
+    pack: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, bilinear: bool = True
+) -> ModelSample:
+    """Sample the packed model at float pixel coords (u, v) [P].
+
+    `bilinear=False` fetches only the nearest row — 1 gather instead of 4.
+    TPU gathers cost ~O(rows fetched), so this quarters the dominant per-GN-
+    iteration cost; used on the finest level where subpixel blending matters
+    least (the ICP term's projective association is nearest-pixel in the
+    reference CUDA kernel too, `reduce.cu:259-343`)."""
     H, W, C = pack.shape
     flat = pack.reshape(H * W, C)
     inb = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
     uc = jnp.clip(u, 0.0, W - 1.001)
     vc = jnp.clip(v, 0.0, H - 1.001)
+    if not bilinear:
+        ui = jnp.round(uc).astype(jnp.int32)
+        vi = jnp.round(vc).astype(jnp.int32)
+        near = flat[vi * W + ui]
+        return ModelSample(
+            v_m=near[:, 0:3], n_m=near[:, 3:6], i_m=near[:, 6],
+            gx=near[:, 7], gy=near[:, 8], z_m=near[:, 9], inb=inb,
+        )
     u0 = jnp.floor(uc).astype(jnp.int32)
     v0 = jnp.floor(vc).astype(jnp.int32)
     fu = (uc - u0.astype(jnp.float32))[:, None]
@@ -367,6 +388,7 @@ def joint_rows_packed(
     min_grad: float = RGB_MIN_GRAD,
     max_residual: float = 255.0,
     occlusion_thresh: float = 0.15,
+    bilinear: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Build BOTH the ICP and RGB row matrices from one sampling bundle.
 
@@ -382,7 +404,7 @@ def joint_rows_packed(
     p = se3.transform_points(A, v_c)
     n_c = se3.rotate_vectors(A, n_c_raw)
     u, v, z = geometry.project(p, intr)
-    smp = sample_model(model_pack, u, v)
+    smp = sample_model(model_pack, u, v, bilinear=bilinear)
     inb = smp.inb & (z > 0)
 
     # --- ICP rows ---

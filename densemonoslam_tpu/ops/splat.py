@@ -58,9 +58,23 @@ class Prediction(NamedTuple):
     conf: jnp.ndarray  # [H,W] confidence of the winning surfel
 
 
+def active_window_start(
+    count: jnp.ndarray, capacity: int, window: int
+) -> jnp.ndarray:
+    """Start row of the active tail block.
+
+    The map is append-only and the periodic compaction partitions rows as
+    [inactive..., active...] (see `surfel_map.compact`), so the surfels inside
+    the reference's time window (`splat.vert:60-66`) live in the last `window`
+    allocated rows — hot ACTIVE-mode passes (tracking render, fusion, clean)
+    slice this block instead of streaming the whole capacity, which is what
+    makes per-frame cost scale with the *working set*, not the map size."""
+    return jnp.clip(count - window, 0, max(capacity - window, 0)).astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("intr", "width", "height", "splat_k", "mode"),
+    static_argnames=("intr", "width", "height", "splat_k", "mode", "window"),
 )
 def render(
     data: jnp.ndarray,  # [N+1, 16] surfel rows (sm layout)
@@ -75,17 +89,29 @@ def render(
     mode: int = MODE_ALL,
     splat_k: int = 3,
     depth_max: float = 100.0,
+    window: int = 0,
 ) -> Prediction:
     """Render the surfel map from `pose`.
 
     Time-window gating follows the reference (`splat.vert:60-66`,
     `IndexMap.cpp` ACTIVE/INACTIVE): ACTIVE keeps surfels whose last-seen tick
     is within `time_delta` of `time`; INACTIVE keeps the complement.
-    `conf_threshold` > 0 restricts to stable surfels."""
+    `conf_threshold` > 0 restricts to stable surfels.
+
+    `window` > 0 (ACTIVE mode only) restricts the pass to the active tail
+    block of `window` rows (see `active_window_start`); `Prediction.index`
+    stays a *global* row index either way."""
     N = data.shape[0] - 1
     HW = height * width
-    rows = data[:-1]
-    idx = jnp.arange(N)
+    if window > 0 and window < N and mode == MODE_ACTIVE:
+        start = active_window_start(count, N, window)
+        rows = jax.lax.dynamic_slice(data, (start, 0), (window, sm.COLS))
+        n_rows = window
+    else:
+        start = jnp.array(0, jnp.int32)
+        rows = data[:-1]
+        n_rows = N
+    idx = jnp.arange(n_rows)
     conf = rows[:, sm.CONF]
     seen = jnp.max(rows[:, sm.LAST_SEEN], axis=-1)
 
@@ -96,7 +122,7 @@ def render(
     u = p_c[:, 0] / zsafe * intr.fx + intr.cx
     v = p_c[:, 1] / zsafe * intr.fy + intr.cy
 
-    alive = (conf > 0) & (idx < count)
+    alive = (conf > 0) & (idx < count - start)
     if conf_threshold > 0:
         alive = alive & (conf >= conf_threshold)
     t_now = jnp.asarray(time, jnp.float32)
@@ -123,17 +149,18 @@ def render(
 
     win = ibuf[:HW]
     has_win = win < _BIG_INDEX
-    win_safe = jnp.where(has_win, win, N)  # N = all-zero dump row
+    win_safe = jnp.where(has_win, win, n_rows - 1)  # any in-range row; masked below
+    win_global = jnp.where(has_win, start + win, -1)
 
     # phase 3: one fused row-gather of winner attributes + projection data
-    w_rows = data[win_safe]  # [HW, 16]
+    w_rows = data[jnp.where(has_win, start + win, N)]  # [HW, 16]; N = dump row
     w_u = jnp.where(has_win, u[win_safe], -1e9)
     w_v = jnp.where(has_win, v[win_safe], -1e9)
     w_z = jnp.where(has_win, z[win_safe], _FAR)
-    w_p = p_c[win_safe]
+    w_p = jnp.where(has_win[:, None], p_c[win_safe], 0.0)
     w_n = se3.rotate_vectors(Tinv, w_rows[:, sm.NORMAL])
     w_r = w_rows[:, sm.RADIUS]
-    w_idx = jnp.where(has_win, win, -1)
+    w_idx = win_global
 
     # per-cell winner candidate maps [H, W, C]
     cand = jnp.concatenate(

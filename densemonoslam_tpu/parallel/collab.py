@@ -18,7 +18,7 @@ closures and merges use the host-side machinery in `densemonoslam_tpu.loops`.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,30 +27,18 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from densemonoslam_tpu import step as stepmod
 from densemonoslam_tpu.config import CameraIntrinsics, EngineConfig
-from densemonoslam_tpu.mapping import surfel_map as sm
+
+# The collaborative state is the per-camera `step.SlamState` pytree with a
+# leading `cam` batch axis on every leaf.
+CollabState = stepmod.SlamState
 
 
-class CollabState(NamedTuple):
-    """Per-camera SLAM state batched on a leading `cam` axis (the batched
-    twin of `step.SlamState`)."""
-
-    map_data: jnp.ndarray  # [B, N+1, 16]
-    map_count: jnp.ndarray  # [B]
-    pose: jnp.ndarray  # [B, 4, 4]
-    tick: jnp.ndarray  # [B]
-    kf_pose: jnp.ndarray  # [B, 4, 4]
-    kf_intensity: jnp.ndarray  # [B, H, W]
-    kf_depth: jnp.ndarray  # [B, H, W]
-    kf_count: jnp.ndarray  # [B]
-
-
-def init_state(n_cams: int, capacity: int, height: int, width: int) -> CollabState:
-    one = stepmod.init_state(capacity, height, width)
-    return CollabState(
-        **{
-            k: jnp.broadcast_to(v, (n_cams,) + v.shape)
-            for k, v in one._asdict().items()
-        }
+def init_state(
+    n_cams: int, capacity: int, height: int, width: int, levels: int = 3
+) -> CollabState:
+    one = stepmod.init_state(capacity, height, width, levels=levels)
+    return jax.tree.map(
+        lambda v: jnp.broadcast_to(v, (n_cams,) + v.shape), one
     )
 
 
@@ -68,13 +56,9 @@ def make_collab_step(
     )
     step = stepmod.make_step(intr, height, width, cfg)
 
-    def local(md, mc, pose, tick, kfp, kfi, kfd, kfc, rgb, depth):
+    def local(state_b: CollabState, rgb, depth):
         # each shard holds exactly one camera: drop the leading axis
-        state = stepmod.SlamState(
-            map_data=md[0], map_count=mc[0], pose=pose[0], tick=tick[0],
-            kf_pose=kfp[0], kf_intensity=kfi[0], kf_depth=kfd[0],
-            kf_count=kfc[0],
-        )
+        state = jax.tree.map(lambda v: v[0], state_b)
         new_state, stats = step(
             state, rgb[0], depth[0],
             jnp.eye(4, dtype=jnp.float32), jnp.asarray(False),
@@ -83,21 +67,21 @@ def make_collab_step(
         # session-wide views over ICI
         global_stats = jax.lax.all_gather(stats, "cam")
         total = jax.lax.psum(new_state.map_count, "cam")
-        out = tuple(v[None] for v in new_state)
-        return out + (global_stats, total)
+        out = jax.tree.map(lambda v: v[None], new_state)
+        return out, global_stats, total
 
     sharded = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("cam"),) * 10,
-        out_specs=(P("cam"),) * 8 + (P(), P()),
+        in_specs=(P("cam"), P("cam"), P("cam")),
+        out_specs=(P("cam"), P(), P()),
         check_rep=False,
     )
 
     @jax.jit
-    def collab_step(state: CollabState, rgb_batch: jnp.ndarray, depth_batch: jnp.ndarray):
-        out = sharded(*state, rgb_batch, depth_batch)
-        new_state = CollabState(*out[:8])
-        return new_state, out[8], out[9]
+    def collab_step(
+        state: CollabState, rgb_batch: jnp.ndarray, depth_batch: jnp.ndarray
+    ):
+        return sharded(state, rgb_batch, depth_batch)
 
     return collab_step

@@ -41,6 +41,20 @@ class SlamState(NamedTuple):
     kf_intensity: jnp.ndarray  # [H,W]
     kf_depth: jnp.ndarray  # [H,W]
     kf_count: jnp.ndarray  # [] i32 number of keyframes so far (0 = none yet)
+    # stored map prediction (last ACTIVE-mode render, reference predict,
+    # `ElasticFusion.cpp:586,688-746`).  Each frame composites it with its own
+    # live data (FillIn) and tracks against the result WITHOUT re-rendering
+    # the map; the render refreshes on fusion / large motion / age (see
+    # `make_step`).  Camera-frame maps at `model_pose`.
+    pred_intensity: jnp.ndarray  # [H,W]
+    pred_vmap: jnp.ndarray  # [H,W,3]
+    pred_nmap: jnp.ndarray  # [H,W,3]
+    pred_depth: jnp.ndarray  # [H,W] (0 = hole)
+    model_pose: jnp.ndarray  # [4,4] render pose of the stored prediction
+    model_rel: jnp.ndarray  # [4,4] pose relative to model_pose (tracked
+    # incrementally so the GN warm start is EXACTLY identity right after a
+    # refresh — recomputing inv(model_pose) @ pose would inject float noise)
+    model_age: jnp.ndarray  # [] i32 frames since refresh (big = invalid)
 
 
 # stats vector layout (host-side decoding)
@@ -58,7 +72,13 @@ STAT_KEYFRAMES = 10
 N_STATS = 12
 
 
-def init_state(capacity: int, height: int, width: int) -> SlamState:
+MODEL_INVALID_AGE = 1 << 20  # marks the stored model as unusable
+
+
+def init_state(
+    capacity: int, height: int, width: int, levels: int = 3
+) -> SlamState:
+    del levels  # kept for call-site compatibility
     return SlamState(
         map_data=jnp.zeros((capacity + 1, sm.COLS), jnp.float32),
         map_count=jnp.array(0, jnp.int32),
@@ -68,6 +88,13 @@ def init_state(capacity: int, height: int, width: int) -> SlamState:
         kf_intensity=jnp.zeros((height, width), jnp.float32),
         kf_depth=jnp.zeros((height, width), jnp.float32),
         kf_count=jnp.array(0, jnp.int32),
+        pred_intensity=jnp.zeros((height, width), jnp.float32),
+        pred_vmap=jnp.zeros((height, width, 3), jnp.float32),
+        pred_nmap=jnp.zeros((height, width, 3), jnp.float32),
+        pred_depth=jnp.zeros((height, width), jnp.float32),
+        model_pose=jnp.eye(4, dtype=jnp.float32),
+        model_rel=jnp.eye(4, dtype=jnp.float32),
+        model_age=jnp.array(MODEL_INVALID_AGE, jnp.int32),
     )
 
 
@@ -82,6 +109,8 @@ def make_step(
     cfg = config
     levels = cfg.pyramid_levels
     iterations = cfg.iterations_for_levels()
+    # hot ACTIVE-mode passes stream only the active tail block
+    win = cfg.active_window if cfg.active_window < cfg.max_surfels else 0
 
     def step(
         state: SlamState,
@@ -106,19 +135,23 @@ def make_step(
 
         first = state.map_count == 0
 
-        # ---------------- predict + track -----------------------------
-        pred = splat.render(
-            state.map_data, state.map_count, state.pose, intr, width, height,
-            t_now, time_delta=cfg.time_delta, mode=splat.MODE_ACTIVE,
+        # ---------------- track against the stored prediction ----------
+        # FillIn composite (reference `FillIn::image/vertex/normal`): holes in
+        # the stored prediction take the live frame's data, exactly as the
+        # reference composites predicted model maps with the raw frame before
+        # tracking.  A_init warm-starts GN at the previous frame's pose
+        # relative to the prediction's render pose.
+        hole = state.pred_depth <= 0
+        filled_int = jnp.where(hole, intensity, state.pred_intensity)
+        filled_v = jnp.where(hole[..., None], frame_pyr.vmap[0], state.pred_vmap)
+        filled_n = jnp.where(hole[..., None], frame_pyr.nmap[0], state.pred_nmap)
+        model_pyr = odometry.build_model_pyramid(
+            filled_int, filled_v, filled_n, levels
         )
-        hole = pred.depth <= 0
-        filled_int = jnp.where(hole, intensity, pred.intensity)
-        filled_v = jnp.where(hole[..., None], frame_pyr.vmap[0], pred.vmap)
-        filled_n = jnp.where(hole[..., None], frame_pyr.nmap[0], pred.nmap)
-        model_pyr = odometry.build_model_pyramid(filled_int, filled_v, filled_n, levels)
-
+        A_init = state.model_rel
         res = odometry.track(
-            model_pyr, frame_pyr, jnp.eye(4, dtype=jnp.float32), intr,
+            model_pyr, frame_pyr, A_init,
+            intr,
             iterations=iterations,
             icp_weight=cfg.icp_weight,
             rgb_only=cfg.rgb_only,
@@ -126,9 +159,9 @@ def make_step(
             use_so3=cfg.so3,
             row_stride=cfg.track_row_stride,
         )
-        tracked_pose = state.pose @ res.A
-        tracking_ok = ~res.failed
-        new_pose = jnp.where(first, state.pose, tracked_pose)
+        tracked_pose = state.model_pose @ res.A
+        tracking_ok = ~res.failed & (state.model_age < MODEL_INVALID_AGE)
+        new_pose = jnp.where(first | ~tracking_ok, state.pose, tracked_pose)
         new_pose = jnp.where(use_in_pose, in_pose, new_pose)
         ok = first | tracking_ok | use_in_pose
         # velocity-based fusion weighting (reference ElasticFusion.cpp:252-268)
@@ -155,28 +188,93 @@ def make_step(
             nid = jnp.array(0.0, jnp.float32)
             do_fuse = ok
 
-        # ---------------- fuse + clean (conditional) -------------------
-        def fuse_branch(operand):
-            data, count = operand
-            m = sm.SurfelMap(data=data, count=count)
-            m, fstats = fusion.fuse(
-                m, vmap_f, nmap_f, rgb.astype(jnp.float32), new_pose, intr,
-                time=t_now, sensor=sensor, weight_mult=weight_mult,
-                time_delta=cfg.time_delta,
-            )
-            m, culled = fusion.clean(
-                m, depth_m, new_pose, intr, time=t_now,
-                conf_threshold=cfg.confidence_threshold,
-            )
-            return m.data, m.count, fstats.matched, fstats.added, culled
+        # ---------------- render + fuse + clean (conditional) ----------
+        # One ACTIVE-mode render serves association AND refreshes the stored
+        # tracking model (its fill-in composite); it only runs when fusing,
+        # after large motion, or when the model ages out — most frames skip
+        # the map pass entirely (the map did not change and the view barely
+        # moved, so the stored model is still the correct tracking target).
+        d_pose = jnp.where(
+            use_in_pose,
+            se3.se3_inverse(state.model_pose) @ new_pose,
+            jnp.where(tracking_ok & ~first, res.A, state.model_rel),
+        )
+        trans_delta = jnp.linalg.norm(d_pose[:3, 3])
+        rot_delta = jnp.arccos(
+            jnp.clip((jnp.trace(d_pose[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
+        )
+        need_render = (
+            first
+            | do_fuse
+            | (trans_delta > cfg.model_trans_delta)
+            | (rot_delta > cfg.model_rot_delta)
+            | (state.model_age + 1 >= cfg.model_max_age)
+        )
 
-        def skip_branch(operand):
+        def render_branch(operand):
+            data, count = operand
+            pred = splat.render(
+                data, count, new_pose, intr, width, height, t_now,
+                time_delta=cfg.time_delta, mode=splat.MODE_ACTIVE, window=win,
+            )
+
+            def fuse_br(op2):
+                d2, c2 = op2
+                m = sm.SurfelMap(data=d2, count=c2)
+                m, fstats = fusion.fuse_with_pred(
+                    m, pred, vmap_f, nmap_f, rgb.astype(jnp.float32),
+                    new_pose, intr, time=t_now, sensor=sensor,
+                    weight_mult=weight_mult, window=win,
+                )
+                m, culled = fusion.clean(
+                    m, depth_m, new_pose, intr, time=t_now,
+                    conf_threshold=cfg.confidence_threshold, window=win,
+                )
+                return m.data, m.count, fstats.matched, fstats.added, culled
+
+            def skip_br(op2):
+                d2, c2 = op2
+                zero = jnp.array(0, jnp.int32)
+                return d2, c2, zero, zero, zero
+
+            data, count, matched, added, culled = jax.lax.cond(
+                do_fuse, fuse_br, skip_br, (data, count)
+            )
+            # store the refreshed prediction.  When fused, compositing with
+            # the live frame approximates the post-fuse map render: matched
+            # pixels moved toward the frame measurement and unmatched valid
+            # pixels became new surfels at exactly the frame vertices — so
+            # prefer the frame where the pre-fuse prediction has holes.
+            p_hole = pred.depth <= 0
+            frame_valid = frame_pyr.vmap[0][..., 2] > 0
+            take_frame = p_hole & frame_valid & do_fuse
+            pi = jnp.where(take_frame, intensity, pred.intensity)
+            pv = jnp.where(take_frame[..., None], frame_pyr.vmap[0], pred.vmap)
+            pn = jnp.where(take_frame[..., None], frame_pyr.nmap[0], pred.nmap)
+            pd = jnp.where(take_frame, frame_pyr.vmap[0][..., 2], pred.depth)
+            return (
+                data, count, matched, added, culled, pi, pv, pn, pd,
+                new_pose, jnp.array(0, jnp.int32),
+            )
+
+        def keep_branch(operand):
             data, count = operand
             zero = jnp.array(0, jnp.int32)
-            return data, count, zero, zero, zero
+            return (
+                data, count, zero, zero, zero, state.pred_intensity,
+                state.pred_vmap, state.pred_nmap, state.pred_depth,
+                state.model_pose, state.model_age + 1,
+            )
 
-        data, count, matched, added, culled = jax.lax.cond(
-            do_fuse, fuse_branch, skip_branch, (state.map_data, state.map_count)
+        (
+            data, count, matched, added, culled, pred_int, pred_v, pred_n,
+            pred_d, model_pose, model_age,
+        ) = jax.lax.cond(
+            need_render, render_branch, keep_branch,
+            (state.map_data, state.map_count),
+        )
+        model_rel = jnp.where(
+            need_render, jnp.eye(4, dtype=jnp.float32), d_pose
         )
 
         # keyframe promotion on fuse
@@ -194,6 +292,13 @@ def make_step(
             kf_intensity=kf_int,
             kf_depth=kf_dep,
             kf_count=kf_count,
+            pred_intensity=pred_int,
+            pred_vmap=pred_v,
+            pred_nmap=pred_n,
+            pred_depth=pred_d,
+            model_pose=model_pose,
+            model_rel=model_rel,
+            model_age=model_age,
         )
         stats = jnp.zeros((N_STATS,), jnp.float32)
         stats = stats.at[STAT_TRACK_OK].set(ok.astype(jnp.float32))

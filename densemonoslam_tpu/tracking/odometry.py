@@ -171,10 +171,12 @@ def build_frame_pyramid(
 
 
 def _so3_prealign(
-    model: ModelPyramid, frame: FramePyramid, intr_top: CameraIntrinsics
+    model: ModelPyramid, frame: FramePyramid, intr_top: CameraIntrinsics,
+    R0: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Rotation-only photometric alignment on the coarsest level with
-    divergence rollback (reference `RGBDOdometry.cpp:297-385`)."""
+    divergence rollback (reference `RGBDOdometry.cpp:297-385`).  `R0`
+    warm-starts the estimate (model-relative initial rotation)."""
     lv = len(frame.intensity) - 1
     i_c = frame.intensity[lv]
     pack_m = model.pack[lv]
@@ -196,7 +198,7 @@ def _so3_prealign(
         R_next = jnp.where(improved, R_new, R_best)
         return R_best, err_best, R_next
 
-    eye = jnp.eye(3, dtype=jnp.float32)
+    eye = jnp.eye(3, dtype=jnp.float32) if R0 is None else R0
     R_best, _, R = jax.lax.fori_loop(
         0, SO3_ITERATIONS, body, (eye, jnp.inf, eye)
     )
@@ -213,6 +215,7 @@ def _gn_level(
     icp_weight: float,
     rgb_only: bool,
     row_stride: int = 1,
+    nearest_finest: bool = True,
 ):
     """Gauss-Newton iterations at one pyramid level; returns (A, stats)."""
     i_c = frame.intensity[level]
@@ -231,7 +234,11 @@ def _gn_level(
     def body(_, carry):
         A, _stats = carry
         M_icp, M_rgb = reductions.joint_rows_packed(
-            v_c, n_c, i_c, pack_m, A, intr_l
+            v_c, n_c, i_c, pack_m, A, intr_l,
+            # nearest sampling on the finest level: 1 gather instead of 4 —
+            # the dominant per-frame cost on TPU (subpixel blending matters
+            # least at full resolution; coarse levels stay bilinear)
+            bilinear=not (nearest_finest and level == 0),
         )
         G_icp, G_rgb, JtJ, Jtr = reductions.combined_system(
             M_icp, M_rgb, icp_weight=0.0 if rgb_only else icp_weight,
@@ -266,7 +273,7 @@ def _gn_level(
     jax.jit,
     static_argnames=(
         "intr", "iterations", "icp_weight", "rgb_only", "pyramid", "use_so3",
-        "row_stride",
+        "row_stride", "nearest_finest",
     ),
 )
 def track(
@@ -280,6 +287,7 @@ def track(
     pyramid: bool = True,
     use_so3: bool = True,
     row_stride: int = 1,
+    nearest_finest: bool = True,
 ) -> TrackResult:
     """Full multi-level tracking (reference
     `RGBDOdometry::getIncrementalTransformation`).
@@ -291,9 +299,19 @@ def track(
     levels = len(frame.intensity)
     A = A_init
     if use_so3 and levels > 1:
-        R = _so3_prealign(model, frame, intr.scaled(levels - 1))
-        A = A.at[:3, :3].set(R @ A[:3, :3])
+        # warm-started: estimates the full model->frame rotation from
+        # A_init's rotation, then replaces it (not composed — composing would
+        # double-count when A_init is not identity)
+        R = _so3_prealign(model, frame, intr.scaled(levels - 1), A[:3, :3])
+        A = A.at[:3, :3].set(R)
 
+    # nearest finest-level sampling is only safe when coarser levels refine
+    # the estimate first (single-level fast mode keeps bilinear)
+    coarse_iters = sum(
+        iterations[lv] for lv in range(1, min(levels, len(iterations)))
+        if pyramid
+    )
+    nearest_eff = nearest_finest and coarse_iters > 0
     stats = None
     for level in range(levels - 1, -1, -1):
         iters = iterations[level] if level < len(iterations) else 0
@@ -301,7 +319,7 @@ def track(
             continue
         A, stats = _gn_level(
             model, frame, A, level, iters, intr, icp_weight, rgb_only,
-            row_stride=row_stride,
+            row_stride=row_stride, nearest_finest=nearest_eff,
         )
 
     icp_err, icp_inl, rgb_err, rgb_inl, JtJ = stats

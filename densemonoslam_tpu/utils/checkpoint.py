@@ -21,7 +21,13 @@ from densemonoslam_tpu import step as stepmod
 
 def save_frontend(path: str, fe) -> None:
     """Serialise a frontend's full device state + host logs to one .npz."""
-    payload = {f"state_{k}": np.asarray(v) for k, v in fe.state._asdict().items()}
+    payload = {}
+    for k, v in fe.state._asdict().items():
+        if isinstance(v, tuple):  # e.g. the model_pack pyramid
+            for i, vi in enumerate(v):
+                payload[f"state_{k}__{i}"] = np.asarray(vi)
+        else:
+            payload[f"state_{k}"] = np.asarray(v)
     if fe.fern_state is not None:
         payload.update(
             {f"ferndb_{k}": np.asarray(v) for k, v in fe.fern_state.db._asdict().items()}
@@ -47,12 +53,18 @@ def save_frontend(path: str, fe) -> None:
 def load_frontend(path: str, fe) -> None:
     """Restore a frontend saved by `save_frontend` (in place)."""
     z = np.load(path)
-    fe.state = stepmod.SlamState(
-        **{
-            k: jnp.asarray(z[f"state_{k}"])
-            for k in stepmod.SlamState._fields
-        }
-    )
+    fields = {}
+    for k in stepmod.SlamState._fields:
+        if f"state_{k}" in z:
+            fields[k] = jnp.asarray(z[f"state_{k}"])
+        else:  # tuple field saved level-wise (state_<k>__<i>)
+            lv = 0
+            vals = []
+            while f"state_{k}__{lv}" in z:
+                vals.append(jnp.asarray(z[f"state_{k}__{lv}"]))
+                lv += 1
+            fields[k] = tuple(vals)
+    fe.state = stepmod.SlamState(**fields)
     if "ferndb_codes" in z:
         from densemonoslam_tpu.mapping import ferns as fernmod
 

@@ -219,3 +219,72 @@ def test_time_window_modes(seq):
     ii = np.asarray(pred_inact.index).ravel()
     common = set(ia[ia >= 0]).intersection(set(ii[ii >= 0]))
     assert not common
+
+
+def test_active_window_tail_block(seq):
+    """ACTIVE-mode render/fuse restricted to the active tail block must agree
+    with the full-map pass once compaction has partitioned the layout
+    [inactive..., active...] (splat.active_window_start)."""
+    m, _ = _bootstrap(seq, 0)  # all last_seen = 0 -> inactive at t=300
+    rgb, depth, vmap, nmap = _frame_maps(seq, 4)
+    pose4 = jnp.asarray(seq.gt_pose(4).astype(np.float32))
+    m, _ = fusion.fuse(m, vmap, nmap, rgb, pose4, seq.camera.intrinsics, time=300)
+    m = sm.compact(m, time=300.0, time_delta=200)
+    intr = seq.camera.intrinsics
+    res = seq.camera.resolution
+    window = 1 << 15  # < capacity, > active count
+    kw = dict(time=301, time_delta=200, mode=splat.MODE_ACTIVE)
+    full = splat.render(m.data, m.count, pose4, intr, res.width, res.height, **kw)
+    blk = splat.render(
+        m.data, m.count, pose4, intr, res.width, res.height, window=window, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(full.index), np.asarray(blk.index))
+    np.testing.assert_allclose(
+        np.asarray(full.depth), np.asarray(blk.depth), rtol=0, atol=1e-6
+    )
+    # active set really fits the window (test precondition)
+    t_seen = np.asarray(sm.last_seen_any(m))
+    n_active = int(((301 - t_seen) < 200).sum())
+    assert 0 < n_active <= window
+
+    # fusing through the window matches full-map fusion
+    rgb5, depth5, vmap5, nmap5 = _frame_maps(seq, 5)
+    pose5 = jnp.asarray(seq.gt_pose(5).astype(np.float32))
+    m_full, st_full = fusion.fuse(
+        sm.SurfelMap(data=m.data + 0.0, count=m.count + 0), vmap5, nmap5, rgb5,
+        pose5, intr, time=301,
+    )
+    m_blk, st_blk = fusion.fuse(
+        sm.SurfelMap(data=m.data + 0.0, count=m.count + 0), vmap5, nmap5, rgb5,
+        pose5, intr, time=301, window=window,
+    )
+    assert int(st_full.matched) == int(st_blk.matched)
+    assert int(st_full.added) == int(st_blk.added)
+    np.testing.assert_allclose(
+        np.asarray(m_full.data), np.asarray(m_blk.data), rtol=0, atol=1e-5
+    )
+
+    # windowed clean kills exactly the full-map kills that fall in the tail
+    # block (out-of-window stale surfels are reclaimed by the compaction
+    # sweep instead, see sm.compact stale_conf_threshold)
+    c_full, k_full = fusion.clean(
+        sm.SurfelMap(data=m_full.data + 0.0, count=m_full.count + 0),
+        depth5, pose5, intr, time=301, conf_threshold=10.0,
+    )
+    c_blk, k_blk = fusion.clean(
+        sm.SurfelMap(data=m_full.data + 0.0, count=m_full.count + 0),
+        depth5, pose5, intr, time=301, conf_threshold=10.0, window=window,
+    )
+    start = max(0, int(m_full.count) - window)
+    kills_full = np.asarray(c_full.data[:-1, sm.CONF]) == 0
+    kills_blk = np.asarray(c_blk.data[:-1, sm.CONF]) == 0
+    np.testing.assert_array_equal(kills_blk[start:], kills_full[start:])
+    assert not kills_blk[:start].any() or (
+        np.asarray(m_full.data[:start, sm.CONF]) == 0
+    ).any()
+    # the compaction sweep reclaims the stale out-of-window surfels
+    swept = sm.compact(
+        sm.SurfelMap(data=c_blk.data + 0.0, count=c_blk.count + 0),
+        time=301.0, time_delta=200, stale_conf_threshold=10.0,
+    )
+    assert int(swept.count) <= int(m_full.count) - int(k_full)
