@@ -105,6 +105,9 @@ class EngineConfig:
     nid_bins_img: int = 64
     nid_bins_depth: int = 500
     nid_keyframing: bool = True  # `--nkf` disables when False
+    nid_stride: int = 4  # NID histograms on stride-decimated frames (the
+    # reference's optional pyramid-down; histogram statistics are insensitive
+    # and the warp gather is the NID gate's dominant cost)
 
     # --- deformation graph -------------------------------------------------
     deform_graph_sample_rate: int = 5000  # `--dgs` 1 node per N surfels

@@ -30,7 +30,7 @@ from densemonoslam_tpu.config import CameraConfig, EngineConfig
 from densemonoslam_tpu.mapping import deformation as dg
 from densemonoslam_tpu.mapping import ferns as fernmod
 from densemonoslam_tpu.mapping import surfel_map as sm
-from densemonoslam_tpu.ops import splat
+from densemonoslam_tpu.ops import splat, warp
 from densemonoslam_tpu.tracking import odometry
 from densemonoslam_tpu.utils import se3
 
@@ -58,12 +58,12 @@ def _constraints_from_alignment(
     20x-downsampled grid, `ElasticFusion.cpp:443-474`): pull each active
     point onto its ICP-corrected position, and pin the corresponding inactive
     point in place."""
-    src_cam = act_vmap[::stride, ::stride].reshape(-1, 3)
-    t_src = act_time[::stride, ::stride].reshape(-1)
+    src_cam = warp.decimate(act_vmap, stride).reshape(-1, 3)
+    t_src = warp.decimate(act_time, stride).reshape(-1)
     dst_cam = se3.transform_points(A, src_cam)
-    d_in = inact_depth[::stride, ::stride].reshape(-1)
-    pin_cam = inact_vmap[::stride, ::stride].reshape(-1, 3)
-    t_pin = inact_time[::stride, ::stride].reshape(-1)
+    d_in = warp.decimate(inact_depth, stride).reshape(-1)
+    pin_cam = warp.decimate(inact_vmap, stride).reshape(-1, 3)
+    t_pin = warp.decimate(inact_time, stride).reshape(-1)
     valid = (src_cam[:, 2] > 0) & (d_in > 0)
     src_w = se3.transform_points(pose, src_cam)
     dst_w = se3.transform_points(pose, dst_cam)
@@ -251,13 +251,13 @@ def apply_hybrid_loop(
         t_now, time_delta=cfg.time_delta, mode=splat.MODE_INACTIVE,
     )
     stride = cfg.loop_constraint_stride
-    src_cam = pred_act.vmap[::stride, ::stride].reshape(-1, 3)
-    t_src = pred_act.time[::stride, ::stride].reshape(-1)
+    src_cam = warp.decimate(pred_act.vmap, stride).reshape(-1, 3)
+    t_src = warp.decimate(pred_act.time, stride).reshape(-1)
     valid = src_cam[:, 2] > 0
     src_w = se3.transform_points(state.pose, src_cam)
     dst_w = se3.transform_points(C, src_w)
-    pin_cam = pred_in.vmap[::stride, ::stride].reshape(-1, 3)
-    t_pin = pred_in.time[::stride, ::stride].reshape(-1)
+    pin_cam = warp.decimate(pred_in.vmap, stride).reshape(-1, 3)
+    t_pin = warp.decimate(pred_in.time, stride).reshape(-1)
     pin_w = se3.transform_points(state.pose, pin_cam)
     pin_ok = pin_cam[:, 2] > 0
     cons = dg.Constraint(

@@ -27,6 +27,8 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from densemonoslam_tpu.ops import warp
 import numpy as np
 
 NUM_FERNS = 500
@@ -169,4 +171,4 @@ def photometric_check(
 
 def downsample_for_ferns(img: jnp.ndarray, factor: int = 8) -> jnp.ndarray:
     """8x decimation (reference encodes in an 8x-downsampled frame)."""
-    return img[::factor, ::factor]
+    return warp.decimate(img, factor)

@@ -70,7 +70,7 @@ def _new_radius(z: jnp.ndarray, nz: jnp.ndarray, fx: float) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("intr", "time_delta", "splat_k", "window"),
+    static_argnames=("intr", "time_delta", "splat_k", "window", "packed_zbuffer"),
     donate_argnames=("m",),
 )
 def fuse(
@@ -86,6 +86,7 @@ def fuse(
     time_delta: int = 200,
     splat_k: int = 3,
     window: int = 0,
+    packed_zbuffer: bool = True,
 ) -> Tuple[sm.SurfelMap, FuseStats]:
     """Fuse one RGB-D frame into the map at `pose`.
 
@@ -99,7 +100,7 @@ def fuse(
         m.data, m.count, pose, intr, vmap_c.shape[1], vmap_c.shape[0],
         jnp.asarray(time, jnp.float32),
         time_delta=time_delta, mode=splat.MODE_ACTIVE, splat_k=splat_k,
-        window=window,
+        window=window, packed_zbuffer=packed_zbuffer,
     )
     return fuse_with_pred(
         m, pred, vmap_c, nmap_c, rgb_c, pose, intr, time, sensor=sensor,
@@ -125,9 +126,16 @@ def fuse_with_pred(
     weight_mult: jnp.ndarray | float = 1.0,
     splat_k: int = 3,
     window: int = 0,
+    clean_depth: jnp.ndarray | None = None,
+    conf_threshold: float = 10.0,
+    unstable_ttl: int = UNSTABLE_TTL,
 ) -> Tuple[sm.SurfelMap, FuseStats]:
     """Fusion given an already-rendered association prediction (lets the
-    caller share one render between association and tracking fill-in)."""
+    caller share one render between association and tracking fill-in).
+
+    With `clean_depth` (the frame's metric depth), the copy_unstable outlier
+    cull (`clean`) runs inline: the observed depth rides the same per-surfel
+    gather the update pass needs anyway, so cleaning costs no extra pass."""
     H, W, _ = vmap_c.shape
     HW = H * W
     N = m.capacity
@@ -154,10 +162,9 @@ def fuse_with_pred(
             a3 * n_w,
             a3 * rgb_c.astype(jnp.float32),
             (a * r_new)[..., None],
-            jnp.zeros((H, W, 4), jnp.float32),
         ],
         axis=-1,
-    ).reshape(HW, 16)
+    )  # [H, W, 12]
 
     # --- pull pass: each surfel gathers contributions addressed to it ------
     if window > 0 and window < N:
@@ -180,21 +187,38 @@ def fuse_with_pred(
     vi = jnp.clip(jnp.round(v_s).astype(jnp.int32), 0, H - 1)
     in_view = alive & (z_s > 0.05) & (u_s >= 0) & (u_s <= W - 1) & (v_s >= 0) & (v_s <= H - 1)
 
-    sum_pay = jnp.zeros((n_rows, 16), jnp.float32)
+    # Dense image-space pre-accumulation: for each pixel CELL, sum the 3x3
+    # neighbourhood's payload rows addressed to that cell's winning surfel
+    # (static shifts — pure VPU work).  Every matched pixel lies within
+    # splat_k//2 of its winner's centre cell by construction of the render's
+    # disk resolve, so each surfel then needs exactly ONE gather (its centre
+    # cell) instead of nine — on TPU, gather cost ~ rows fetched, and the old
+    # 9-tap per-surfel pull was the single most expensive op in fusion.
+    win_f = pred.index.astype(jnp.float32)  # [H,W] winner idx per cell (-1 none)
+    acc = jnp.zeros((H, W, 12), jnp.float32)
     half = splat_k // 2
     for dy in range(-half, half + 1):
         for dx in range(-half, half + 1):
-            q = jnp.clip(vi + dy, 0, H - 1) * W + jnp.clip(ui + dx, 0, W - 1)
-            pr = payload[q]  # fused row-gathers across the 3x3 taps
-            mine = in_view & (pr[:, 0] == idx.astype(jnp.float32))
-            sum_pay = sum_pay + jnp.where(mine[:, None], pr, 0.0)
+            t = warp.shift(payload, dy, dx)
+            hit = (t[..., 0] == win_f) & (win_f >= 0)
+            acc = acc + jnp.where(hit[..., None], t, 0.0)
+    obs_depth = (
+        clean_depth if clean_depth is not None else jnp.zeros((H, W), jnp.float32)
+    )
+    gtab = jnp.concatenate(
+        [win_f[..., None], acc[..., 1:12], obs_depth[..., None]], axis=-1
+    ).reshape(HW, 13)
 
-    sum_a = sum_pay[:, 1]
+    g = gtab[vi * W + ui]  # the ONE per-surfel gather
+    mine = in_view & (g[:, 0] == idx.astype(jnp.float32))
+    sum_pay = jnp.where(mine[:, None], g[:, 1:12], 0.0)
+
+    sum_a = sum_pay[:, 0]
     touched = sum_a > 0
-    mean_p = sum_pay[:, 2:5] / jnp.maximum(sum_a, 1e-12)[:, None]
-    mean_n = sum_pay[:, 5:8] / jnp.maximum(sum_a, 1e-12)[:, None]
-    mean_c = sum_pay[:, 8:11] / jnp.maximum(sum_a, 1e-12)[:, None]
-    mean_r = sum_pay[:, 11] / jnp.maximum(sum_a, 1e-12)
+    mean_p = sum_pay[:, 1:4] / jnp.maximum(sum_a, 1e-12)[:, None]
+    mean_n = sum_pay[:, 4:7] / jnp.maximum(sum_a, 1e-12)[:, None]
+    mean_c = sum_pay[:, 7:10] / jnp.maximum(sum_a, 1e-12)[:, None]
+    mean_r = sum_pay[:, 10] / jnp.maximum(sum_a, 1e-12)
 
     conf_old = rows[:, sm.CONF]
     r_old = rows[:, sm.RADIUS]
@@ -226,6 +250,25 @@ def fuse_with_pred(
     seen_col = 12 + sensor
     upd = upd.at[:, seen_col].set(t_now)
     blk = jnp.where(touched[:, None], upd, rows)
+
+    # --- inline clean (reference copy_unstable outlier cull) ---------------
+    if clean_depth is not None:
+        d_obs = g[:, 12]
+        free_space = (
+            in_view & (d_obs > 0) & (z_s < d_obs - FREE_SPACE_MARGIN)
+        )
+        new_conf = blk[:, sm.CONF]
+        last = jnp.max(blk[:, sm.LAST_SEEN], axis=-1)
+        stale = (
+            alive
+            & (new_conf < conf_threshold)
+            & (t_now - last > unstable_ttl)
+        )
+        kill = alive & (stale | free_space)
+        blk = blk.at[:, sm.CONF].set(jnp.where(kill, 0.0, new_conf))
+        culled = jnp.sum(kill.astype(jnp.int32))
+    else:
+        culled = jnp.array(0, jnp.int32)
     data = jax.lax.dynamic_update_slice(m.data, blk, (start, 0))
 
     # --- insertion of unmatched pixels (contiguous compact-append) ---------
@@ -264,7 +307,7 @@ def fuse_with_pred(
     stats = FuseStats(
         matched=jnp.sum(matched.astype(jnp.int32)),
         added=n_new,
-        culled=jnp.array(0, jnp.int32),
+        culled=culled,
     )
     return m2, stats
 

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from densemonoslam_tpu.config import CameraIntrinsics
-from densemonoslam_tpu.ops import geometry, histogram
+from densemonoslam_tpu.ops import geometry, histogram, warp
 from densemonoslam_tpu.utils import se3
 
 
@@ -50,7 +50,7 @@ def make_keyframe(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("intr", "bins_img", "bins_depth")
+    jax.jit, static_argnames=("intr", "bins_img", "bins_depth", "stride")
 )
 def nid_against_keyframe(
     kf: KeyFrame,
@@ -61,6 +61,7 @@ def nid_against_keyframe(
     depth_max: float,
     bins_img: int = 64,
     bins_depth: int = 500,
+    stride: int = 2,
 ):
     """Warp the current frame into the keyframe view and compute
     (nid_img, nid_depth, overlap_fraction).
@@ -72,19 +73,26 @@ def nid_against_keyframe(
     reference's optional pyramid-down) — the histogram statistics are
     insensitive to it and the warp gathers cost 4x less.
     """
-    cur_intensity = cur_intensity[::2, ::2]
-    cur_vmap = cur_vmap[::2, ::2]
+    lv = max(stride.bit_length() - 1, 0)  # stride must be a power of two
+    cur_intensity = warp.decimate(cur_intensity, stride)
+    cur_vmap = warp.decimate(cur_vmap, stride)
     kf = KeyFrame(
-        pose=kf.pose, intensity=kf.intensity[::2, ::2], depth=kf.depth[::2, ::2]
+        pose=kf.pose, intensity=warp.decimate(kf.intensity, stride),
+        depth=warp.decimate(kf.depth, stride),
     )
-    intr = intr.scaled(1)
+    intr = intr.scaled(lv)
     H, W = cur_intensity.shape
     A = se3.se3_inverse(kf.pose) @ cur_pose  # current cam -> kf cam
     p_kf = se3.transform_points(A, cur_vmap.reshape(-1, 3))
     u, v, z = geometry.project(p_kf, intr)
     inb = geometry.in_bounds(u, v, W, H) & (z > 0) & (cur_vmap.reshape(-1, 3)[:, 2] > 0)
-    i_kf = geometry.nearest_sample(kf.intensity, u, v)
-    d_kf = geometry.nearest_sample(kf.depth, u, v)
+    # one packed gather for (intensity, depth): gather cost ~ rows fetched,
+    # so two separate narrow samples would cost double
+    kf_pack = jnp.stack([kf.intensity, kf.depth], axis=-1).reshape(-1, 2)
+    ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, W - 1)
+    vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, H - 1)
+    smp = kf_pack[vi * W + ui]
+    i_kf, d_kf = smp[:, 0], smp[:, 1]
     valid = inb & (d_kf > 0)
     n_img = histogram.nid_image(
         cur_intensity.reshape(-1), i_kf, valid, bins=bins_img

@@ -19,6 +19,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from densemonoslam_tpu.ops import warp
 import numpy as np
 
 
@@ -104,7 +105,7 @@ def _sep_conv(img: jnp.ndarray, k: np.ndarray) -> jnp.ndarray:
 
 def pyr_down_gauss(img: jnp.ndarray) -> jnp.ndarray:
     """Gaussian 5-tap blur + 2x decimation (reference `pyrDownGaussF`)."""
-    return _sep_conv(img, _GAUSS_5)[::2, ::2]
+    return warp.decimate(_sep_conv(img, _GAUSS_5), 2)
 
 
 def pyr_down_depth(depth: jnp.ndarray, sigma_depth: float = 0.03) -> jnp.ndarray:
@@ -113,12 +114,12 @@ def pyr_down_depth(depth: jnp.ndarray, sigma_depth: float = 0.03) -> jnp.ndarray
     zeros (reference `pyrDownKernelF` / `pyrDownUcharGauss` behaviour —
     straight Gaussian blurring across depth edges would hallucinate surfaces).
     """
-    centre = depth[::2, ::2]
+    centre = warp.decimate(depth, 2)
     acc = jnp.zeros_like(centre)
     wacc = jnp.zeros_like(centre)
     for dy in range(-2, 3):
         for dx in range(-2, 3):
-            n = _shifted(depth, dy, dx)[::2, ::2]
+            n = warp.decimate(_shifted(depth, dy, dx), 2)
             w_s = float(_GAUSS_5[dy + 2] * _GAUSS_5[dx + 2])
             ok = (n > 0.0) & (jnp.abs(n - centre) < 3.0 * sigma_depth)
             w = w_s * ok.astype(jnp.float32)

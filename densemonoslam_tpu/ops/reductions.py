@@ -239,19 +239,42 @@ def so3_rows(
     return M * m[:, None]
 
 
+def _inv3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse (adjugate/determinant) — a handful of vector
+    ops instead of a generic LU, which costs real time when it sits inside
+    every GN iteration of the tracking loop."""
+    r0, r1, r2 = M[0], M[1], M[2]
+    c0 = jnp.cross(r1, r2)
+    c1 = jnp.cross(r2, r0)
+    c2 = jnp.cross(r0, r1)
+    det = jnp.dot(r0, c0)
+    return jnp.stack([c0, c1, c2], axis=-1) / det
+
+
 def solve_se3(
     JtJ: jnp.ndarray, Jtr: jnp.ndarray, damping: float = 0.0
 ) -> jnp.ndarray:
     """Solve ``JtJ xi = -Jtr`` for the twist update (the reference downloads
     29 floats and runs Eigen LDLT on the host, `reduce.cu:412-427` +
-    `RGBDOdometry.cpp:549-567`; we stay on device — a 6x6 solve is trivial)."""
+    `RGBDOdometry.cpp:549-567`; we stay on device).  Solved via a 3x3 block
+    Schur complement with closed-form 3x3 inverses — ~12 small ops vs a
+    generic LU, and this runs once per GN iteration."""
     Areg = JtJ + damping * jnp.eye(6, dtype=JtJ.dtype)
-    return jnp.linalg.solve(Areg, -Jtr)
+    b = -Jtr
+    P, Q = Areg[:3, :3], Areg[:3, 3:]
+    S = Areg[3:, 3:]
+    Pinv = _inv3(P)
+    T = Pinv @ Q
+    S_schur = S - Q.T @ T
+    y1p = Pinv @ b[:3]
+    x2 = _inv3(S_schur) @ (b[3:] - Q.T @ y1p)
+    x1 = y1p - T @ x2
+    return jnp.concatenate([x1, x2])
 
 
 def solve_so3(JtJ3: jnp.ndarray, Jtr3: jnp.ndarray, damping: float = 0.0) -> jnp.ndarray:
     Areg = JtJ3 + damping * jnp.eye(3, dtype=JtJ3.dtype)
-    return jnp.linalg.solve(Areg, -Jtr3)
+    return _inv3(Areg) @ (-Jtr3)
 
 
 def combined_system(

@@ -74,7 +74,9 @@ def active_window_start(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("intr", "width", "height", "splat_k", "mode", "window"),
+    static_argnames=(
+        "intr", "width", "height", "splat_k", "mode", "window", "packed_zbuffer",
+    ),
 )
 def render(
     data: jnp.ndarray,  # [N+1, 16] surfel rows (sm layout)
@@ -90,6 +92,7 @@ def render(
     splat_k: int = 3,
     depth_max: float = 100.0,
     window: int = 0,
+    packed_zbuffer: bool = True,
 ) -> Prediction:
     """Render the surfel map from `pose`.
 
@@ -103,7 +106,8 @@ def render(
     stays a *global* row index either way."""
     N = data.shape[0] - 1
     HW = height * width
-    if window > 0 and window < N and mode == MODE_ACTIVE:
+    windowed = window > 0 and window < N and mode == MODE_ACTIVE
+    if windowed:
         start = active_window_start(count, N, window)
         rows = jax.lax.dynamic_slice(data, (start, 0), (window, sm.COLS))
         n_rows = window
@@ -138,48 +142,73 @@ def render(
     ok = visible & inb
     tid = jnp.where(ok, vi * width + ui, HW)
 
-    # phase 1+2: two scatter-mins (z-test, then deterministic index tie-break)
-    zbuf = jnp.full((HW + 1,), _FAR, jnp.float32).at[tid].min(
-        jnp.where(ok, z, _FAR)
-    )
-    is_win = ok & (z <= zbuf[tid])
-    ibuf = jnp.full((HW + 1,), _BIG_INDEX, jnp.int32).at[tid].min(
-        jnp.where(is_win, idx, _BIG_INDEX)
-    )
-
-    win = ibuf[:HW]
-    has_win = win < _BIG_INDEX
+    idx_bits = max(int(n_rows - 1).bit_length(), 1)
+    if packed_zbuffer and windowed and idx_bits <= 21:
+        # phase 1+2 fused: ONE scatter-min of a packed (inverse-depth bucket,
+        # index) key — scatters serialise per update on TPU, so halving the
+        # scatter count halves the dominant render cost.  The bucket only
+        # decides the winner among near-coincident surfels (the output depth
+        # is the winner's EXACT z, gathered in phase 3); bucket width at
+        # depth z is ~z^2 * depth_max/2^z_bits metres.
+        z_bits = 31 - idx_bits
+        n_buckets = (1 << z_bits) - 1
+        inv = 1.0 / jnp.maximum(z, 1e-3)
+        inv_max = 1.0 / 0.05  # z floor already gated at 0.05
+        q = jnp.clip((inv * (n_buckets / inv_max)).astype(jnp.int32), 0, n_buckets)
+        key = (n_buckets - q) * (1 << idx_bits) + idx
+        i32_max = jnp.iinfo(jnp.int32).max  # keys span the full int32 range
+        kbuf = jnp.full((HW + 1,), i32_max, jnp.int32).at[tid].min(
+            jnp.where(ok, key, i32_max)
+        )
+        win = kbuf[:HW] & ((1 << idx_bits) - 1)
+        has_win = kbuf[:HW] < i32_max
+    else:
+        # exact two-phase: scatter-min z, then deterministic min-index
+        # tie-break among exact-z winners
+        zbuf = jnp.full((HW + 1,), _FAR, jnp.float32).at[tid].min(
+            jnp.where(ok, z, _FAR)
+        )
+        is_win = ok & (z <= zbuf[tid])
+        ibuf = jnp.full((HW + 1,), _BIG_INDEX, jnp.int32).at[tid].min(
+            jnp.where(is_win, idx, _BIG_INDEX)
+        )
+        win = ibuf[:HW]
+        has_win = win < _BIG_INDEX
     win_safe = jnp.where(has_win, win, n_rows - 1)  # any in-range row; masked below
-    win_global = jnp.where(has_win, start + win, -1)
 
-    # phase 3: one fused row-gather of winner attributes + projection data
-    w_rows = data[jnp.where(has_win, start + win, N)]  # [HW, 16]; N = dump row
-    w_u = jnp.where(has_win, u[win_safe], -1e9)
-    w_v = jnp.where(has_win, v[win_safe], -1e9)
-    w_z = jnp.where(has_win, z[win_safe], _FAR)
-    w_p = jnp.where(has_win[:, None], p_c[win_safe], 0.0)
-    w_n = se3.rotate_vectors(Tinv, w_rows[:, sm.NORMAL])
-    w_r = w_rows[:, sm.RADIUS]
-    w_idx = win_global
-
-    # per-cell winner candidate maps [H, W, C]
-    cand = jnp.concatenate(
+    # phase 3: ONE wide row-gather of winner attributes.  TPU gather cost is
+    # dominated by rows fetched, not row width, and separate narrow gathers
+    # (u, v, z, p_c, attribute rows) do NOT fuse — so all per-surfel columns
+    # are packed into one [n_rows, 16] table first (dense, cheap) and fetched
+    # in a single gather.
+    n_cam = se3.rotate_vectors(Tinv, rows[:, sm.NORMAL])
+    r_px_all = jnp.clip(
+        rows[:, sm.RADIUS] * intr.fx / jnp.maximum(z, 1e-6), 0.5, splat_k * 0.75
+    )
+    tbl = jnp.concatenate(
         [
-            w_u[:, None],
-            w_v[:, None],
-            w_z[:, None],
-            w_p,
-            w_n,
-            jnp.clip(w_r * intr.fx / jnp.maximum(w_z, 1e-6), 0.5, splat_k * 0.75)[
-                :, None
-            ],
-            w_idx[:, None].astype(jnp.float32),
-            w_rows[:, sm.COLOR],
-            jnp.max(w_rows[:, sm.LAST_SEEN], axis=-1)[:, None],
-            w_rows[:, sm.CONF][:, None],
+            u[:, None],
+            v[:, None],
+            z[:, None],
+            p_c,
+            n_cam,
+            r_px_all[:, None],
+            (start + idx).astype(jnp.float32)[:, None],  # global row index
+            rows[:, sm.COLOR],
+            jnp.max(rows[:, sm.LAST_SEEN], axis=-1)[:, None],
+            rows[:, sm.CONF][:, None],
         ],
         axis=-1,
-    ).reshape(height, width, 16)
+    )
+    g = tbl[win_safe]  # [HW, 16] — the only gather in phase 3
+    invalid_row = jnp.concatenate(
+        [
+            jnp.array([-1e9, -1e9], jnp.float32),
+            jnp.array([_FAR], jnp.float32),
+            jnp.zeros((13,), jnp.float32),
+        ]
+    )
+    cand = jnp.where(has_win[:, None], g, invalid_row).reshape(height, width, 16)
 
     # phase 4: dense 3x3 disk resolve — each pixel adopts the nearest
     # neighbouring-cell winner whose screen disk covers it

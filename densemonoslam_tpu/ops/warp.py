@@ -25,6 +25,23 @@ import jax
 import jax.numpy as jnp
 
 
+def decimate(img: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Strided decimation ``img[::k, ::k]`` as a native strided-window op.
+
+    A python strided slice lowers to a GATHER on the TPU backend
+    (~0.8-1.4 ms per 640x480 map — measured; it dominated the whole frame
+    budget), while `lax.reduce_window` with a 1x1 window and stride k is a
+    first-class cheap op.  Works for [H, W] and [H, W, C]."""
+    if k == 1:
+        return img
+    ndim = img.ndim
+    window = (1,) * ndim
+    strides = (k, k) + (1,) * (ndim - 2)
+    return jax.lax.reduce_window(
+        img, -jnp.inf, jax.lax.max, window, strides, "VALID"
+    )
+
+
 def shift(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     """Static shift with zero fill: out[y, x] = img[y+dy, x+dx] (0 outside).
     Pad+slice — compiles to pure data movement."""

@@ -180,6 +180,7 @@ def make_step(
                 depth_max=cfg.depth_cutoff,
                 bins_img=cfg.nid_bins_img,
                 bins_depth=cfg.nid_bins_depth,
+                stride=cfg.nid_stride,
             )
             nid = kfmod.nid_score(n_img, n_depth, cfg.nid_depth_weight)
             novel = (nid > cfg.nid_threshold) | (overlap < 0.1)
@@ -225,12 +226,10 @@ def make_step(
                     m, pred, vmap_f, nmap_f, rgb.astype(jnp.float32),
                     new_pose, intr, time=t_now, sensor=sensor,
                     weight_mult=weight_mult, window=win,
+                    clean_depth=depth_m,  # inline copy_unstable cull
+                    conf_threshold=cfg.confidence_threshold,
                 )
-                m, culled = fusion.clean(
-                    m, depth_m, new_pose, intr, time=t_now,
-                    conf_threshold=cfg.confidence_threshold, window=win,
-                )
-                return m.data, m.count, fstats.matched, fstats.added, culled
+                return m.data, m.count, fstats.matched, fstats.added, fstats.culled
 
             def skip_br(op2):
                 d2, c2 = op2

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from densemonoslam_tpu.config import CameraIntrinsics, EngineConfig
-from densemonoslam_tpu.ops import geometry, preprocess, reductions
+from densemonoslam_tpu.ops import geometry, preprocess, reductions, warp
 from densemonoslam_tpu.utils import se3
 
 # Reference iteration budgets (`RGBDOdometry.cpp:387-389`), finest-first.
@@ -99,7 +99,7 @@ def frame_pyramid_from_maps(
         gx, gy = preprocess.sobel_gradients(ints[lv])
         gxs.append(gx)
         gys.append(gy)
-        vm, nm = vm[::2, ::2], nm[::2, ::2]
+        vm, nm = warp.decimate(vm, 2), warp.decimate(nm, 2)
     return FramePyramid(
         intensity=tuple(ints), vmap=tuple(vmaps), nmap=tuple(nmaps),
         grad_x=tuple(gxs), grad_y=tuple(gys),
@@ -118,7 +118,7 @@ def build_model_pyramid(
     for _ in range(levels):
         vmaps.append(vm)
         nmaps.append(nm)
-        vm, nm = vm[::2, ::2], nm[::2, ::2]
+        vm, nm = warp.decimate(vm, 2), warp.decimate(nm, 2)
     for lv in range(levels):
         gx, gy = preprocess.sobel_gradients(ints[lv])
         gxs.append(gx)
@@ -227,18 +227,19 @@ def _gn_level(
         # over-determine 6 DoF by ~4 orders of magnitude); the model is
         # still sampled at full resolution, only the row count shrinks —
         # this is the single biggest per-frame cost lever on TPU
-        i_c = i_c[::row_stride, ::row_stride]
-        v_c = v_c[::row_stride, ::row_stride]
-        n_c = n_c[::row_stride, ::row_stride]
+        i_c = warp.decimate(i_c, row_stride)
+        v_c = warp.decimate(v_c, row_stride)
+        n_c = warp.decimate(n_c, row_stride)
 
     def body(_, carry):
         A, _stats = carry
         M_icp, M_rgb = reductions.joint_rows_packed(
             v_c, n_c, i_c, pack_m, A, intr_l,
-            # nearest sampling on the finest level: 1 gather instead of 4 —
-            # the dominant per-frame cost on TPU (subpixel blending matters
-            # least at full resolution; coarse levels stay bilinear)
-            bilinear=not (nearest_finest and level == 0),
+            # nearest sampling on the two finest levels: 1 gather instead
+            # of 4 — the dominant per-frame cost on TPU (gather cost ~ rows
+            # fetched; subpixel blending matters least where pixels are
+            # densest; the coarsest levels stay bilinear for convergence)
+            bilinear=not (nearest_finest and level <= 1),
         )
         G_icp, G_rgb, JtJ, Jtr = reductions.combined_system(
             M_icp, M_rgb, icp_weight=0.0 if rgb_only else icp_weight,

@@ -236,7 +236,8 @@ def test_active_window_tail_block(seq):
     kw = dict(time=301, time_delta=200, mode=splat.MODE_ACTIVE)
     full = splat.render(m.data, m.count, pose4, intr, res.width, res.height, **kw)
     blk = splat.render(
-        m.data, m.count, pose4, intr, res.width, res.height, window=window, **kw
+        m.data, m.count, pose4, intr, res.width, res.height, window=window,
+        packed_zbuffer=False, **kw
     )
     np.testing.assert_array_equal(np.asarray(full.index), np.asarray(blk.index))
     np.testing.assert_allclose(
@@ -256,7 +257,7 @@ def test_active_window_tail_block(seq):
     )
     m_blk, st_blk = fusion.fuse(
         sm.SurfelMap(data=m.data + 0.0, count=m.count + 0), vmap5, nmap5, rgb5,
-        pose5, intr, time=301, window=window,
+        pose5, intr, time=301, window=window, packed_zbuffer=False,
     )
     assert int(st_full.matched) == int(st_blk.matched)
     assert int(st_full.added) == int(st_blk.added)
@@ -288,3 +289,35 @@ def test_active_window_tail_block(seq):
         time=301.0, time_delta=200, stale_conf_threshold=10.0,
     )
     assert int(swept.count) <= int(m_full.count) - int(k_full)
+
+
+def test_packed_zbuffer_close_to_exact(seq):
+    """The packed single-scatter z-buffer (windowed ACTIVE renders) must agree
+    with the exact two-phase z-buffer up to inverse-depth bucket ties: same
+    coverage, winner depth within one bucket of the true minimum."""
+    m, _ = _bootstrap(seq, 0)
+    m = sm.compact(m, time=0.0, time_delta=200)
+    intr = seq.camera.intrinsics
+    res = seq.camera.resolution
+    pose = jnp.asarray(seq.gt_pose(1).astype(np.float32))
+    window = 1 << 15
+    kw = dict(time=1, time_delta=200, mode=splat.MODE_ACTIVE, window=window)
+    exact = splat.render(
+        m.data, m.count, pose, intr, res.width, res.height,
+        packed_zbuffer=False, **kw
+    )
+    packed = splat.render(
+        m.data, m.count, pose, intr, res.width, res.height,
+        packed_zbuffer=True, **kw
+    )
+    cov_e = np.asarray(exact.depth) > 0
+    cov_p = np.asarray(packed.depth) > 0
+    # coverage identical (bucketing never changes WHICH pixels are hit)
+    assert (cov_e == cov_p).mean() > 0.999
+    both = cov_e & cov_p
+    de = np.asarray(exact.depth)[both]
+    dp = np.asarray(packed.depth)[both]
+    # winner depth within an inverse-depth bucket (+ splat refinement slack)
+    inv_step = 20.0 / ((1 << (31 - 15)) - 1)
+    tol = np.maximum(de * de * inv_step + 5e-3, 5e-3)
+    assert (np.abs(de - dp) <= tol).mean() > 0.995
