@@ -93,6 +93,128 @@ def _reactivate_in_view(data, count, pose, t_now):
     return data
 
 
+_LOCAL_LOOP_CACHE: dict = {}
+
+
+def _make_local_loop(intr, W: int, H: int, cfg: EngineConfig):
+    """Build the fully-jitted local-loop device function for a camera/config.
+
+    The ENTIRE check — INACTIVE/ACTIVE renders, model-to-model tracking, the
+    acceptance gates, deformation-graph GN, and map/pose application — runs as
+    ONE device program with `lax.cond` gates.  Running these stages eagerly
+    (op-by-op) costs ~1 ms dispatch per op through the remote-TPU tunnel and
+    made a single loop check ~50x slower than the same math under jit."""
+    key = (intr, W, H, cfg)
+    if key in _LOCAL_LOOP_CACHE:
+        return _LOCAL_LOOP_CACHE[key]
+    levels = cfg.pyramid_levels
+    iters = cfg.iterations_for_levels()
+    win = cfg.active_window if cfg.active_window < cfg.max_surfels else 0
+
+    @jax.jit
+    def run(state: stepmod.SlamState):
+        t_now = state.tick
+        t_f = t_now.astype(jnp.float32)
+        pred_in = splat.render(
+            state.map_data, state.map_count, state.pose, intr, W, H,
+            t_now, time_delta=cfg.time_delta, mode=splat.MODE_INACTIVE,
+        )
+        inact_frac = jnp.mean((pred_in.depth > 0).astype(jnp.float32))
+
+        def attempt(op):
+            data, count = op
+            pred_act = splat.render(
+                data, count, state.pose, intr, W, H, t_now,
+                time_delta=cfg.time_delta, mode=splat.MODE_ACTIVE, window=win,
+            )
+            model = odometry.build_model_pyramid(
+                pred_in.intensity, pred_in.vmap, pred_in.nmap, levels
+            )
+            frame = odometry.frame_pyramid_from_maps(
+                pred_act.intensity, pred_act.vmap, pred_act.nmap, levels
+            )
+            res = odometry.track(
+                model, frame, jnp.eye(4, dtype=jnp.float32), intr,
+                iterations=iters, icp_weight=cfg.icp_weight,
+                use_so3=False,  # predictions share the pose
+            )
+            n_valid = jnp.sum((pred_act.depth > 0).astype(jnp.float32))
+            inlier_frac = res.icp_inliers / jnp.maximum(n_valid, 1.0)
+            go = (
+                ~res.failed
+                & (inlier_frac >= cfg.loop_inlier_frac)
+                & (res.icp_error <= cfg.loop_icp_err_thresh)
+            )
+
+            def deform(op2):
+                d2, c2 = op2
+                cons = _constraints_from_alignment(
+                    pred_act.vmap, pred_act.time, pred_in.depth,
+                    pred_in.vmap, pred_in.time, res.A, state.pose,
+                    cfg.loop_constraint_stride,
+                )
+                graph = dg.sample_graph(
+                    d2, c2, max_nodes=cfg.max_deform_nodes,
+                    sample_rate=cfg.deform_graph_sample_rate,
+                )
+                # anchor the old (inactive-epoch) part; deform the recent part
+                frozen = graph.time < (t_f - cfg.time_delta)
+                graph2, stats = dg.optimise(graph, cons, frozen=frozen)
+                accept = stats.mean_cons_error <= cfg.loop_cons_err_thresh
+
+                def apply_fn(op3):
+                    d3, c3 = op3
+                    d4 = dg.apply_to_map(d3, c3, graph2)
+                    npse = dg.apply_to_pose(graph2, state.pose, t_f)
+                    d4 = _reactivate_in_view(d4, c3, npse, t_now)
+                    return d4, npse
+
+                def no_apply(op3):
+                    d3, _ = op3
+                    return d3, state.pose
+
+                d5, npse = jax.lax.cond(accept, apply_fn, no_apply, (d2, c2))
+                return d5, npse, accept, stats.mean_cons_error
+
+            def no_deform(op2):
+                d2, _ = op2
+                return d2, state.pose, jnp.asarray(False), jnp.float32(0.0)
+
+            d6, npse, closed, cons_err = jax.lax.cond(
+                go, deform, no_deform, (data, count)
+            )
+            return d6, npse, closed, cons_err, inlier_frac, res.icp_error
+
+        def skip(op):
+            data, _ = op
+            return (
+                data, state.pose, jnp.asarray(False), jnp.float32(0.0),
+                jnp.float32(0.0), jnp.float32(0.0),
+            )
+
+        data, new_pose, closed, cons_err, inlier_frac, icp_err = jax.lax.cond(
+            inact_frac >= cfg.loop_min_inactive_frac, attempt, skip,
+            (state.map_data, state.map_count),
+        )
+        new_state = state._replace(
+            map_data=data,
+            pose=new_pose,
+            model_age=jnp.where(
+                closed, stepmod.MODEL_INVALID_AGE, state.model_age
+            ).astype(jnp.int32),
+        )
+        info_vec = jnp.stack(
+            [
+                closed.astype(jnp.float32), inact_frac, inlier_frac,
+                icp_err, cons_err,
+            ]
+        )
+        return new_state, info_vec
+
+    _LOCAL_LOOP_CACHE[key] = run
+    return run
+
+
 def try_local_loop(
     state: stepmod.SlamState,
     camera: CameraConfig,
@@ -102,83 +224,23 @@ def try_local_loop(
 
     Mirrors `ElasticFusion.cpp:399-495`: INACTIVE combinedPredict ->
     model-to-model `getIncrementalTransformation` -> covariance/inlier/error
-    gates -> constraints -> `localDeformation.constrain` -> apply.
+    gates -> constraints -> `localDeformation.constrain` -> apply.  One
+    jitted device program; a single scalar-vector fetch reports the outcome.
     """
-    intr = camera.intrinsics
-    W, H = camera.resolution.width, camera.resolution.height
-    t_now = int(state.tick)
-    no = LoopInfo(False, False, 0.0, 0.0, 0.0, 0.0)
-
-    pred_in = splat.render(
-        state.map_data, state.map_count, state.pose, intr, W, H,
-        t_now, time_delta=cfg.time_delta, mode=splat.MODE_INACTIVE,
+    run = _make_local_loop(
+        camera.intrinsics, camera.resolution.width, camera.resolution.height,
+        cfg,
     )
-    inact_frac = float(jnp.mean((pred_in.depth > 0).astype(jnp.float32)))
-    if inact_frac < cfg.loop_min_inactive_frac:
-        return state, no._replace(attempted=True, inactive_frac=inact_frac)
-
-    pred_act = splat.render(
-        state.map_data, state.map_count, state.pose, intr, W, H,
-        t_now, time_delta=cfg.time_delta, mode=splat.MODE_ACTIVE,
+    state, info_vec = run(state)
+    v = np.asarray(info_vec)
+    return state, LoopInfo(
+        attempted=True,
+        closed=bool(v[0] > 0),
+        inactive_frac=float(v[1]),
+        inlier_frac=float(v[2]),
+        icp_error=float(v[3]),
+        cons_error=float(v[4]),
     )
-    levels = cfg.pyramid_levels
-    model = odometry.build_model_pyramid(
-        pred_in.intensity, pred_in.vmap, pred_in.nmap, levels
-    )
-    frame = odometry.frame_pyramid_from_maps(
-        pred_act.intensity, pred_act.vmap, pred_act.nmap, levels
-    )
-    res = odometry.track(
-        model, frame, jnp.eye(4, dtype=jnp.float32), intr,
-        iterations=cfg.iterations_for_levels(),
-        icp_weight=cfg.icp_weight,
-        use_so3=False,  # predictions share the pose; rotation offset is small
-    )
-    n_valid = float(jnp.sum((pred_act.depth > 0).astype(jnp.float32)))
-    inlier_frac = float(res.icp_inliers) / max(n_valid, 1.0)
-    icp_err = float(res.icp_error)
-    info = LoopInfo(True, False, inact_frac, inlier_frac, icp_err, 0.0)
-    if (
-        bool(res.failed)
-        or inlier_frac < cfg.loop_inlier_frac
-        or icp_err > cfg.loop_icp_err_thresh
-    ):
-        return state, info
-
-    cons = _constraints_from_alignment(
-        pred_act.vmap,
-        pred_act.time,
-        pred_in.depth,
-        pred_in.vmap,
-        pred_in.time,
-        res.A,
-        state.pose,
-        cfg.loop_constraint_stride,
-    )
-    graph = dg.sample_graph(
-        state.map_data,
-        state.map_count,
-        max_nodes=cfg.max_deform_nodes,
-        sample_rate=cfg.deform_graph_sample_rate,
-    )
-    # anchor the old (inactive-epoch) part of the map; deform the recent part
-    frozen = graph.time < (t_now - cfg.time_delta)
-    graph2, stats = dg.optimise(graph, cons, frozen=frozen)
-    cons_err = float(stats.mean_cons_error)
-    info = info._replace(cons_error=cons_err)
-    if cons_err > cfg.loop_cons_err_thresh:
-        return state, info
-
-    data = dg.apply_to_map(state.map_data, state.map_count, graph2)
-    new_pose = dg.apply_to_pose(graph2, state.pose, float(t_now))
-    data = _reactivate_in_view(data, state.map_count, new_pose, t_now)
-    # the map (and pose) changed under the stored tracking model:
-    # force a re-render on the next step
-    state = state._replace(
-        map_data=data, pose=new_pose,
-        model_age=jnp.asarray(stepmod.MODEL_INVALID_AGE, jnp.int32),
-    )
-    return state, info._replace(closed=True)
 
 
 class FernLoopState(NamedTuple):
@@ -237,60 +299,101 @@ def apply_hybrid_loop(
     tracker's (pose_estimate, pose_corrected) pair as
     ``C = pose_corrected @ inv(pose_estimate)``.
     """
-    intr = camera.intrinsics
-    W, H = camera.resolution.width, camera.resolution.height
-    t_now = int(state.tick)
-    C = jnp.asarray(correction, jnp.float32)
+    run = _make_hybrid_loop(
+        camera.intrinsics, camera.resolution.width, camera.resolution.height,
+        cfg,
+    )
+    state, info_vec = run(state, jnp.asarray(correction, jnp.float32))
+    v = np.asarray(info_vec)
+    return state, LoopInfo(
+        attempted=True, closed=bool(v[0] > 0), inactive_frac=0.0,
+        inlier_frac=1.0, icp_error=0.0, cons_error=float(v[1]),
+    )
 
-    pred_act = splat.render(
-        state.map_data, state.map_count, state.pose, intr, W, H,
-        t_now, time_delta=cfg.time_delta, mode=splat.MODE_ACTIVE,
-    )
-    pred_in = splat.render(
-        state.map_data, state.map_count, state.pose, intr, W, H,
-        t_now, time_delta=cfg.time_delta, mode=splat.MODE_INACTIVE,
-    )
+
+_HYBRID_LOOP_CACHE: dict = {}
+
+
+def _make_hybrid_loop(intr, W: int, H: int, cfg: EngineConfig):
+    """Fully-jitted hybrid/global loop device program (see `_make_local_loop`
+    for why: eager op-by-op dispatch through the TPU tunnel is ~50x slower)."""
+    key = (intr, W, H, cfg)
+    if key in _HYBRID_LOOP_CACHE:
+        return _HYBRID_LOOP_CACHE[key]
     stride = cfg.loop_constraint_stride
-    src_cam = warp.decimate(pred_act.vmap, stride).reshape(-1, 3)
-    t_src = warp.decimate(pred_act.time, stride).reshape(-1)
-    valid = src_cam[:, 2] > 0
-    src_w = se3.transform_points(state.pose, src_cam)
-    dst_w = se3.transform_points(C, src_w)
-    pin_cam = warp.decimate(pred_in.vmap, stride).reshape(-1, 3)
-    t_pin = warp.decimate(pred_in.time, stride).reshape(-1)
-    pin_w = se3.transform_points(state.pose, pin_cam)
-    pin_ok = pin_cam[:, 2] > 0
-    cons = dg.Constraint(
-        src=jnp.concatenate([src_w, pin_w]),
-        dst=jnp.concatenate([dst_w, pin_w]),
-        time=jnp.concatenate([t_src, t_pin]),
-        valid=jnp.concatenate([valid, pin_ok]),
-        pinned=jnp.concatenate([jnp.zeros_like(valid), jnp.ones_like(pin_ok)]),
-    )
-    graph = dg.sample_graph(
-        state.map_data, state.map_count,
-        max_nodes=cfg.max_deform_nodes,
-        sample_rate=cfg.deform_graph_sample_rate,
-    )
-    frozen = graph.time < (t_now - cfg.time_delta)
-    graph2, stats = dg.optimise(graph, cons, frozen=frozen)
-    cons_err = float(stats.mean_cons_error)
-    info = LoopInfo(True, False, 0.0, 1.0, 0.0, cons_err)
-    # the reference relaxes acceptance for hybrid/global matches
-    # (`Deformation.cpp:165`: meanConsError < 3e-4 && error < 0.12 on their
-    # units; we scale our gate by 2x vs local loops)
-    if cons_err > 2.0 * cfg.loop_cons_err_thresh:
-        return state, info
-    data = dg.apply_to_map(state.map_data, state.map_count, graph2)
-    new_pose = jnp.asarray(correction, jnp.float32) @ state.pose
-    data = _reactivate_in_view(data, state.map_count, new_pose, t_now)
-    # the map (and pose) changed under the stored tracking model:
-    # force a re-render on the next step
-    state = state._replace(
-        map_data=data, pose=new_pose,
-        model_age=jnp.asarray(stepmod.MODEL_INVALID_AGE, jnp.int32),
-    )
-    return state, info._replace(closed=True)
+    win = cfg.active_window if cfg.active_window < cfg.max_surfels else 0
+
+    @jax.jit
+    def run(state: stepmod.SlamState, C: jnp.ndarray):
+        t_now = state.tick
+        t_f = t_now.astype(jnp.float32)
+        pred_act = splat.render(
+            state.map_data, state.map_count, state.pose, intr, W, H,
+            t_now, time_delta=cfg.time_delta, mode=splat.MODE_ACTIVE,
+            window=win,
+        )
+        pred_in = splat.render(
+            state.map_data, state.map_count, state.pose, intr, W, H,
+            t_now, time_delta=cfg.time_delta, mode=splat.MODE_INACTIVE,
+        )
+        src_cam = warp.decimate(pred_act.vmap, stride).reshape(-1, 3)
+        t_src = warp.decimate(pred_act.time, stride).reshape(-1)
+        valid = src_cam[:, 2] > 0
+        src_w = se3.transform_points(state.pose, src_cam)
+        dst_w = se3.transform_points(C, src_w)
+        pin_cam = warp.decimate(pred_in.vmap, stride).reshape(-1, 3)
+        t_pin = warp.decimate(pred_in.time, stride).reshape(-1)
+        pin_w = se3.transform_points(state.pose, pin_cam)
+        pin_ok = pin_cam[:, 2] > 0
+        cons = dg.Constraint(
+            src=jnp.concatenate([src_w, pin_w]),
+            dst=jnp.concatenate([dst_w, pin_w]),
+            time=jnp.concatenate([t_src, t_pin]),
+            valid=jnp.concatenate([valid, pin_ok]),
+            pinned=jnp.concatenate(
+                [jnp.zeros_like(valid), jnp.ones_like(pin_ok)]
+            ),
+        )
+        graph = dg.sample_graph(
+            state.map_data, state.map_count,
+            max_nodes=cfg.max_deform_nodes,
+            sample_rate=cfg.deform_graph_sample_rate,
+        )
+        frozen = graph.time < (t_f - cfg.time_delta)
+        graph2, stats = dg.optimise(graph, cons, frozen=frozen)
+        # the reference relaxes acceptance for hybrid/global matches
+        # (`Deformation.cpp:165`: meanConsError < 3e-4 && error < 0.12 in
+        # their units; we scale our gate by 2x vs local loops)
+        accept = stats.mean_cons_error <= 2.0 * cfg.loop_cons_err_thresh
+
+        def apply_fn(op):
+            d2, c2 = op
+            d3 = dg.apply_to_map(d2, c2, graph2)
+            npse = C @ state.pose
+            d3 = _reactivate_in_view(d3, c2, npse, t_now)
+            return d3, npse
+
+        def no_apply(op):
+            d2, _ = op
+            return d2, state.pose
+
+        data, new_pose = jax.lax.cond(
+            accept, apply_fn, no_apply, (state.map_data, state.map_count)
+        )
+        new_state = state._replace(
+            map_data=data,
+            pose=new_pose,
+            model_age=jnp.where(
+                accept, stepmod.MODEL_INVALID_AGE, state.model_age
+            ).astype(jnp.int32),
+        )
+        info_vec = jnp.stack(
+            [accept.astype(jnp.float32), stats.mean_cons_error]
+        )
+        return new_state, info_vec
+
+    _HYBRID_LOOP_CACHE[key] = run
+    return run
 
 
 # ---------------------------------------------------------------------------

@@ -110,7 +110,7 @@ def fuse(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("intr", "splat_k", "window"),
+    static_argnames=("intr", "splat_k", "window", "time_delta"),
     donate_argnames=("m",),
 )
 def fuse_with_pred(
@@ -129,6 +129,7 @@ def fuse_with_pred(
     clean_depth: jnp.ndarray | None = None,
     conf_threshold: float = 10.0,
     unstable_ttl: int = UNSTABLE_TTL,
+    time_delta: int = 200,
 ) -> Tuple[sm.SurfelMap, FuseStats]:
     """Fusion given an already-rendered association prediction (lets the
     caller share one render between association and tracking fill-in).
@@ -259,10 +260,15 @@ def fuse_with_pred(
         )
         new_conf = blk[:, sm.CONF]
         last = jnp.max(blk[:, sm.LAST_SEEN], axis=-1)
+        age = t_now - last
+        # stale-unstable culling applies only within the active epoch: the
+        # reference resurrects surfels older than timeDelta regardless of
+        # confidence (copy_unstable.vert:140-156, test=1 for inactive)
         stale = (
             alive
             & (new_conf < conf_threshold)
-            & (t_now - last > unstable_ttl)
+            & (age > unstable_ttl)
+            & (age <= time_delta)
         )
         kill = alive & (stale | free_space)
         blk = blk.at[:, sm.CONF].set(jnp.where(kill, 0.0, new_conf))
@@ -314,7 +320,7 @@ def fuse_with_pred(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("intr", "conf_threshold", "window"),
+    static_argnames=("intr", "conf_threshold", "window", "time_delta"),
     donate_argnames=("m",),
 )
 def clean(
@@ -326,6 +332,7 @@ def clean(
     conf_threshold: float = 10.0,
     unstable_ttl: int = UNSTABLE_TTL,
     window: int = 0,
+    time_delta: int = 200,
 ) -> Tuple[sm.SurfelMap, jnp.ndarray]:
     """Cull bad surfels (reference `copy_unstable.vert` outlier logic):
 
@@ -367,7 +374,10 @@ def clean(
 
     unstable = rows[:, sm.CONF] < conf_threshold
     last = jnp.max(rows[:, sm.LAST_SEEN], axis=-1)
-    stale = unstable & (t_now - last > unstable_ttl)
+    age = t_now - last
+    # only cull inside the active epoch (reference resurrects inactive
+    # surfels, copy_unstable.vert:140-156)
+    stale = unstable & (age > unstable_ttl) & (age <= time_delta)
 
     kill = alive & (stale | free_space)
     blk = rows.at[:, sm.CONF].set(jnp.where(kill, 0.0, rows[:, sm.CONF]))

@@ -161,8 +161,14 @@ def compact(m: SurfelMap, time: jnp.ndarray | float | None = None,
     else:
         t_now = jnp.asarray(time, jnp.float32)
         if stale_conf_threshold > 0:
-            stale = (m.data[:-1, CONF] < stale_conf_threshold) & (
-                t_now - last_seen_any(m) > unstable_ttl
+            age = t_now - last_seen_any(m)
+            # cull only inside the active epoch — the reference preserves
+            # inactive surfels regardless of confidence
+            # (copy_unstable.vert:140-156)
+            stale = (
+                (m.data[:-1, CONF] < stale_conf_threshold)
+                & (age > unstable_ttl)
+                & (age <= time_delta)
             )
             alive = alive & ~stale
         active = alive & (t_now - last_seen_any(m) < time_delta)

@@ -228,6 +228,7 @@ def make_step(
                     weight_mult=weight_mult, window=win,
                     clean_depth=depth_m,  # inline copy_unstable cull
                     conf_threshold=cfg.confidence_threshold,
+                    time_delta=cfg.time_delta,
                 )
                 return m.data, m.count, fstats.matched, fstats.added, fstats.culled
 
