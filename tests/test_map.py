@@ -283,12 +283,19 @@ def test_active_window_tail_block(seq):
     assert not kills_blk[:start].any() or (
         np.asarray(m_full.data[:start, sm.CONF]) == 0
     ).any()
-    # the compaction sweep reclaims the stale out-of-window surfels
+    # the compaction sweep reclaims the stale-in-epoch surfels the windowed
+    # clean missed (free-space culls outside the window are NOT swept — the
+    # sweep has no frame to test against, matching the reference where
+    # free-space culling only happens during a fused frame)
+    d = np.asarray(c_blk.data[:-1])
+    alive_blk = (d[:, sm.CONF] > 0) & (np.arange(d.shape[0]) < int(c_blk.count))
+    age = 301.0 - d[:, 12:15].max(axis=1)
+    stale = alive_blk & (d[:, sm.CONF] < 10.0) & (age > 20) & (age <= 200)
     swept = sm.compact(
         sm.SurfelMap(data=c_blk.data + 0.0, count=c_blk.count + 0),
         time=301.0, time_delta=200, stale_conf_threshold=10.0,
     )
-    assert int(swept.count) <= int(m_full.count) - int(k_full)
+    assert int(swept.count) == int(alive_blk.sum()) - int(stale.sum())
 
 
 def test_packed_zbuffer_close_to_exact(seq):
