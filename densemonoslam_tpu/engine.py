@@ -171,6 +171,7 @@ class Engine:
         timestamp: float,
         in_pose: Optional[np.ndarray] = None,
         sync: bool = True,
+        cluster: int = 0,
     ) -> Dict[str, float]:
         """Process one frame for camera `name` (reference
         `ElasticFusion::processFrame`, `ElasticFusion.cpp:99-637`).
@@ -247,6 +248,7 @@ class Engine:
             pose_in,
             jnp.asarray(use_in),
             jnp.asarray(weight, jnp.float32),
+            jnp.asarray(cluster, jnp.float32),
         )
         be.map_data, be.map_count = fe.state.map_data, fe.state.map_count
         self.global_tick += 1
@@ -354,13 +356,25 @@ class Engine:
         ps = [p for _, p in fe.trajectory]
         save_freiburg(path, ts, ps)
 
-    def save_ply(self, map_name: str, path: str, stable_only: bool = True) -> int:
+    def save_ply(
+        self, map_name: str, path: str, stable_only: bool = True,
+        cluster: Optional[int] = None,
+    ) -> int:
+        """Export the map as PLY; `cluster` filters to one cluster id
+        (reference per-cluster VBO export, `GlobalModel.h:100-101`)."""
         from densemonoslam_tpu.io.writers import save_ply
 
         thr = self.config.confidence_threshold if stable_only else 0.0
         snap = sm.snapshot(self.map_of(map_name), conf_threshold=thr)
-        save_ply(path, snap.positions, snap.normals, snap.colors, snap.radii)
-        return snap.positions.shape[0]
+        keep = (
+            slice(None) if cluster is None
+            else np.asarray(snap.clusters) == cluster
+        )
+        save_ply(
+            path, snap.positions[keep], snap.normals[keep],
+            snap.colors[keep], snap.radii[keep],
+        )
+        return int(np.asarray(snap.positions[keep]).shape[0])
 
     def save_times(self, path: str) -> None:
         self.timer.write_csv(path)

@@ -225,3 +225,44 @@ class GroundTruthOdometry:
         if a > 0.5:
             T[:3, :3] = self.poses[i + 1][:3, :3]
         return T
+
+
+class GroundTruthClusters:
+    """Per-timestamp semantic/GT cluster ids (reference
+    `GUI/src/Tools/GroundTruthClusters.cpp`: "time,cluster" CSV lines; serves
+    the `cluster` argument of `processFrame`, which tags surfels so the map
+    can be exported per cluster).  Colors follow the reference's HSV wheel."""
+
+    def __init__(self, path: str):
+        self.clusters: dict = {}
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    t_str, c_str = line.split(",")[:2]
+                    self.clusters[int(float(t_str))] = int(c_str)
+                except ValueError:
+                    continue
+        self._ts = np.array(sorted(self.clusters), dtype=np.int64)
+        ids = sorted(set(self.clusters.values()))
+        n = max(len(ids), 1)
+        self.cluster_colors = {}
+        for c in ids:
+            h = 360.0 * float(c) / n
+
+            def f(x, h=h):
+                k = ((x + h / 60.0)) % 6.0
+                return 1.0 - max(min(k, min(4.0 - k, 1.0)), 0.0)
+
+            self.cluster_colors[c] = (f(5.0), f(3.0), f(1.0))
+
+    def cluster_at(self, timestamp: float) -> int:
+        """Cluster id at (or nearest below) a timestamp; 0 if none known."""
+        if len(self._ts) == 0:
+            return 0
+        i = int(np.searchsorted(self._ts, int(timestamp), side="right")) - 1
+        if i < 0:
+            return 0
+        return self.clusters[int(self._ts[i])]

@@ -87,6 +87,7 @@ def fuse(
     splat_k: int = 3,
     window: int = 0,
     packed_zbuffer: bool = True,
+    cluster_id: jnp.ndarray | float = 0.0,
 ) -> Tuple[sm.SurfelMap, FuseStats]:
     """Fuse one RGB-D frame into the map at `pose`.
 
@@ -105,6 +106,7 @@ def fuse(
     return fuse_with_pred(
         m, pred, vmap_c, nmap_c, rgb_c, pose, intr, time, sensor=sensor,
         weight_mult=weight_mult, splat_k=splat_k, window=window,
+        cluster_id=cluster_id,
     )
 
 
@@ -130,6 +132,7 @@ def fuse_with_pred(
     conf_threshold: float = 10.0,
     unstable_ttl: int = UNSTABLE_TTL,
     time_delta: int = 200,
+    cluster_id: jnp.ndarray | float = 0.0,
 ) -> Tuple[sm.SurfelMap, FuseStats]:
     """Fusion given an already-rendered association prediction (lets the
     caller share one render between association and tracking fill-in).
@@ -288,6 +291,9 @@ def fuse_with_pred(
     new_rows = new_rows.at[:, sm.NORMAL].set(n_w.reshape(HW, 3))
     new_rows = new_rows.at[:, sm.INIT_TIME].set(t_now)
     new_rows = new_rows.at[:, seen_col].set(t_now)
+    new_rows = new_rows.at[:, sm.CLUSTER].set(
+        jnp.asarray(cluster_id, jnp.float32)
+    )
 
     order = jnp.argsort(~is_new, stable=True)  # new pixels first
     packed = new_rows[order]

@@ -17,7 +17,8 @@ Column layout (f32):
     8:11  normal (unit, world frame)
     11    init_time (tick of creation)
     12:15 last-seen tick per sensor (MAX_SENSORS = 3, reference size.glsl)
-    15    unused padding (keeps rows 16-wide for clean TPU tiling)
+    15    cluster id (reference per-cluster VBOs, `GlobalModel.h:100-101`;
+          fed from GroundTruthClusters or any per-frame segmentation id)
 """
 
 from __future__ import annotations
@@ -37,7 +38,8 @@ RADIUS = 7
 NORMAL = slice(8, 11)
 INIT_TIME = 11
 LAST_SEEN = slice(12, 15)
-PAD = 15
+CLUSTER = 15
+PAD = 15  # legacy alias
 COLS = 16
 MAX_SENSORS = 3
 
@@ -193,6 +195,7 @@ class MapSnapshot(NamedTuple):
     radii: jnp.ndarray
     confidences: jnp.ndarray
     init_times: jnp.ndarray
+    clusters: jnp.ndarray
 
 
 def snapshot(m: SurfelMap, conf_threshold: float = 0.0) -> MapSnapshot:
@@ -210,4 +213,5 @@ def snapshot(m: SurfelMap, conf_threshold: float = 0.0) -> MapSnapshot:
         radii=data[:, RADIUS],
         confidences=data[:, CONF],
         init_times=data[:, INIT_TIME],
+        clusters=data[:, CLUSTER].astype(int),
     )

@@ -62,7 +62,7 @@ def make_collab_step(
         new_state, stats = step(
             state, rgb[0], depth[0],
             jnp.eye(4, dtype=jnp.float32), jnp.asarray(False),
-            jnp.asarray(1.0, jnp.float32),
+            jnp.asarray(1.0, jnp.float32), jnp.float32(0.0),
         )
         # session-wide views over ICI
         global_stats = jax.lax.all_gather(stats, "cam")

@@ -119,6 +119,7 @@ def make_step(
         in_pose: jnp.ndarray,  # [4,4] external pose (GT/ORB), identity if unused
         use_in_pose: jnp.ndarray,  # [] bool
         weight_mult: jnp.ndarray,  # [] f32
+        cluster_id: jnp.ndarray = jnp.float32(0.0),  # [] per-frame cluster
     ) -> Tuple[SlamState, jnp.ndarray]:
         t_now = state.tick
         # ---------------- preprocess ----------------------------------
@@ -229,6 +230,7 @@ def make_step(
                     clean_depth=depth_m,  # inline copy_unstable cull
                     conf_threshold=cfg.confidence_threshold,
                     time_delta=cfg.time_delta,
+                    cluster_id=cluster_id,
                 )
                 return m.data, m.count, fstats.matched, fstats.added, fstats.culled
 

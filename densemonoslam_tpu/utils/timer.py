@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import contextlib
 import csv
+import socket
+import struct
 import time
 from collections import defaultdict
 from typing import Dict, List, Optional
@@ -22,6 +24,40 @@ import jax
 class Stopwatch:
     def __init__(self) -> None:
         self.timings: Dict[str, List[float]] = defaultdict(list)
+        self._udp: Optional[socket.socket] = None
+        self._udp_addr = ("127.0.0.1", 45454)
+        self._udp_interval = 10.0
+        self._udp_last = 0.0
+
+    # --- StopwatchViewer-style UDP streaming --------------------------------
+    def enable_udp(
+        self, host: str = "127.0.0.1", port: int = 45454, interval_s: float = 10.0
+    ) -> None:
+        """Stream latest timings over UDP, the reference `Stopwatch::sendAll`
+        protocol (`Utils/Stopwatch.h:144-158`: every 10 s to 127.0.0.1:45454
+        for the external StopwatchViewer): payload = total byte count (i32)
+        followed by [name\\0 + f32 latest-ms] records."""
+        self._udp = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._udp_addr = (host, port)
+        self._udp_interval = interval_s
+        self._udp_last = 0.0
+
+    def _maybe_send(self) -> None:
+        if self._udp is None:
+            return
+        now = time.monotonic()
+        if now - self._udp_last < self._udp_interval:
+            return
+        self._udp_last = now
+        body = b""
+        for name, vals in self.timings.items():
+            if vals:
+                body += name.encode() + b"\x00" + struct.pack("<f", vals[-1])
+        packet = struct.pack("<i", len(body) + 4) + body
+        try:
+            self._udp.sendto(packet, self._udp_addr)
+        except OSError:
+            pass
 
     @contextlib.contextmanager
     def section(self, name: str, block=None):
@@ -43,6 +79,7 @@ class Stopwatch:
         if block is not None:
             jax.block_until_ready(block)
         self.timings[name].append((time.perf_counter() - t0) * 1e3)
+        self._maybe_send()
 
     def mean(self, name: str) -> float:
         vals = self.timings.get(name, [])

@@ -101,3 +101,61 @@ def test_engine_monocular_mode(seq):
         rgb, _ = seq.frame(i)
         info = eng.process_frame("cam0", rgb, None, float(i))
     assert eng.surfel_count("cam0") > 500
+
+
+def _encode_varint(x):
+    out = b""
+    while True:
+        b = x & 0x7F
+        x >>= 7
+        if x:
+            out += bytes([b | 0x80])
+        else:
+            out += bytes([b])
+            return out
+
+
+def _field(num, wt, payload):
+    key = _encode_varint((num << 3) | wt)
+    if wt == 2:
+        return key + _encode_varint(len(payload)) + payload
+    return key + payload
+
+
+def _tensor_proto(name, arr):
+    body = b""
+    for d in arr.shape:
+        body += _field(1, 0, _encode_varint(d))
+    body += _field(2, 0, _encode_varint(1))  # f32
+    body += _field(8, 2, name.encode())
+    body += _field(9, 2, arr.astype("<f4").tobytes())
+    return body
+
+
+def test_onnx_initializer_roundtrip(tmp_path):
+    """The minimal ONNX reader recovers initializer tensors by name
+    (the reference's normnet ONNX weight path, DepthPrediction.cpp)."""
+    import numpy as np
+
+    from densemonoslam_tpu.models import onnx_import
+
+    w = np.random.default_rng(0).normal(size=(8, 3, 3, 3)).astype(np.float32)
+    b = np.arange(8, dtype=np.float32)
+    graph = _field(5, 2, _tensor_proto("conv1.weight", w)) + _field(
+        5, 2, _tensor_proto("conv1.bias", b)
+    )
+    model = _field(7, 2, graph)
+    p = tmp_path / "tiny.onnx"
+    p.write_bytes(model)
+
+    out = onnx_import.load_initializers(str(p))
+    np.testing.assert_array_equal(out["conv1.weight"], w)
+    np.testing.assert_array_equal(out["conv1.bias"], b)
+    # OIHW -> HWIO conv relayout
+    params = onnx_import.load_depthnet_params(
+        str(p), {"conv1.weight": "enc0/Conv_0/kernel", "conv1.bias": "enc0/Conv_0/bias"}
+    )
+    assert params["enc0"]["Conv_0"]["kernel"].shape == (3, 3, 3, 8)
+    np.testing.assert_array_equal(
+        params["enc0"]["Conv_0"]["kernel"][1, 2, 0, 5], w[5, 0, 1, 2]
+    )

@@ -111,3 +111,53 @@ def test_ate_detects_error():
     est[5] = est[5].copy()
     est[5][:3, 3] += [0.3, 0, 0]
     assert ate_rmse(est, gt) > 0.05
+
+
+def test_ground_truth_clusters(tmp_path):
+    """GT cluster CSV parsing + HSV colors (reference GroundTruthClusters)."""
+    import numpy as np
+
+    from densemonoslam_tpu.io.datasets import GroundTruthClusters
+
+    p = tmp_path / "clusters.csv"
+    p.write_text("100,0\n200,1\n300,2\n")
+    gtc = GroundTruthClusters(str(p))
+    assert gtc.cluster_at(100) == 0
+    assert gtc.cluster_at(250) == 1
+    assert gtc.cluster_at(999) == 2
+    assert gtc.cluster_at(50) == 0  # before first entry
+    assert set(gtc.cluster_colors) == {0, 1, 2}
+    for rgb in gtc.cluster_colors.values():
+        assert all(0.0 <= v <= 1.0 for v in rgb)
+
+
+def test_cluster_tagged_fusion_and_ply(tmp_path):
+    """Surfels carry the per-frame cluster id; PLY export filters by it
+    (reference per-cluster VBOs, GlobalModel.h:100-101)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from densemonoslam_tpu.config import EngineConfig
+    from densemonoslam_tpu.engine import Engine
+    from densemonoslam_tpu.io.synthetic import SyntheticSequence
+    from densemonoslam_tpu.mapping import surfel_map as sm
+
+    seq = SyntheticSequence(num_frames=24)
+    cfg = EngineConfig(
+        max_surfels=1 << 16, depth_cutoff=8.0, depth_factor=1.0,
+        open_loop=True, nid_keyframing=False,
+    )
+    eng = Engine(seq.camera, cfg)
+    eng.frontend("cam0")
+    eng.frontends["cam0"].pose = seq.gt_pose(0).astype(np.float32)
+    for i in range(6):
+        rgb, depth = seq.frame(i)
+        info = eng.process_frame("cam0", rgb, depth, float(i), cluster=i // 3)
+        assert info["tracking_ok"] == 1.0
+    snap = sm.snapshot(eng.map_of("cam0"))
+    ids = set(np.unique(np.asarray(snap.clusters)).tolist())
+    assert ids == {0, 1}
+    n0 = eng.save_ply("cam0", str(tmp_path / "c0.ply"), stable_only=False, cluster=0)
+    n1 = eng.save_ply("cam0", str(tmp_path / "c1.ply"), stable_only=False, cluster=1)
+    nall = eng.save_ply("cam0", str(tmp_path / "all.ply"), stable_only=False)
+    assert n0 > 0 and n1 > 0 and n0 + n1 == nall
