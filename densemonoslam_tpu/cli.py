@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--max-surfels", type=int, default=1 << 20)
     ap.add_argument("--pyramid-levels", type=int, default=None)
     ap.add_argument("--gt", default=None, help="freiburg ground-truth file for ATE")
+    ap.add_argument("--poses", default=None,
+                    help="`--poses` freiburg file: inject GT poses, bypass tracking")
+    ap.add_argument("--clusters", default=None,
+                    help="`--clusters` time,cluster CSV: tag surfels with GT cluster ids")
+    ap.add_argument("--stopwatch-udp", action="store_true",
+                    help="stream section timings to 127.0.0.1:45454 (StopwatchViewer)")
     ap.add_argument("--checkpoint", default=None, help="save state here at the end")
     ap.add_argument("--resume", default=None, help="restore state before starting")
     return ap
@@ -116,6 +122,18 @@ def main(argv=None) -> int:
     )
     eng = Engine(camera, cfg)
     eng.frontend("cam0")
+    if args.stopwatch_udp:
+        eng.timer.enable_udp()
+    gt_odom = None
+    if args.poses:
+        from densemonoslam_tpu.io.datasets import GroundTruthOdometry
+
+        gt_odom = GroundTruthOdometry(args.poses)
+    gt_clusters = None
+    if args.clusters:
+        from densemonoslam_tpu.io.datasets import GroundTruthClusters
+
+        gt_clusters = GroundTruthClusters(args.clusters)
     if args.resume:
         eng.load_checkpoint("cam0", args.resume)
         print(f"resumed from {args.resume} at tick {eng.frontends['cam0'].tick}")
@@ -133,7 +151,11 @@ def main(argv=None) -> int:
             ts = float(n + args.skip)
         else:
             rgb, depth, ts = reader.get_next()
-        eng.process_frame("cam0", rgb, depth, ts, sync=False)
+        in_pose = gt_odom.pose_at(ts).astype(np.float32) if gt_odom else None
+        cluster = gt_clusters.cluster_at(ts) if gt_clusters else 0
+        eng.process_frame(
+            "cam0", rgb, depth, ts, in_pose=in_pose, sync=False, cluster=cluster
+        )
         n += 1
         if n == 2:
             t0 = time.perf_counter()

@@ -261,12 +261,15 @@ class Engine:
         self.timer.tock("frame_dispatch", t0)
         if fe.tick % self._compact_interval == 0:
             # reclaims culled slots AND re-partitions [inactive..., active...]
-            # so the hot passes' tail block stays a superset of the ACTIVE set
+            # so the hot passes' tail block stays a superset of the ACTIVE set.
+            # No stale-culling here: the reference culls ONLY during fused
+            # frames (clean runs inside the fusion branch) — sweeping on a
+            # wall-clock cadence wipes NID-gated maps during long no-fuse
+            # stretches when every surfel's age drifts into the cull window.
             m = sm.compact(
                 sm.SurfelMap(data=be.map_data, count=be.map_count),
                 time=float(self.global_tick),
                 time_delta=self.config.time_delta,
-                stale_conf_threshold=self.config.confidence_threshold,
             )
             be.map_data, be.map_count = m.data, m.count
             fe.state = fe.state._replace(map_data=m.data, map_count=m.count)

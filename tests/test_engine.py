@@ -122,3 +122,37 @@ def test_engine_multi_frontend_isolated_maps(seq):
     assert eng.surfel_count("camA") > 0
     assert eng.surfel_count("camB") > 0
     assert eng.frontends["camA"].map_name != eng.frontends["camB"].map_name
+
+
+def test_nid_gated_map_survives_long_no_fuse_stretch():
+    """Regression: under NID keyframing, long stretches without fusion age
+    every surfel past the unstable TTL; culling must never wipe the map on a
+    wall-clock cadence (the reference culls only during fused frames and
+    preserves inactive surfels, copy_unstable.vert:140-156)."""
+    import jax
+    import numpy as np
+
+    from densemonoslam_tpu.config import EngineConfig
+    from densemonoslam_tpu.engine import Engine
+    from densemonoslam_tpu.io.synthetic import SyntheticSequence
+
+    n = 140  # past two compaction sweeps (every 64)
+    seq = SyntheticSequence(num_frames=24, radius=0.35, max_angle=0.3)
+    cfg = EngineConfig(
+        max_surfels=1 << 17, depth_cutoff=8.0, depth_factor=1.0,
+        nid_keyframing=True, nid_threshold=0.85, open_loop=True,
+    )
+    eng = Engine(seq.camera, cfg)
+    eng.frontend("cam0")
+    eng.frontends["cam0"].pose = seq.gt_pose(0).astype(np.float32)
+    counts = []
+    for i in range(n):
+        rgb, depth = seq.frame(i % 24)  # revisits: NID blocks most fusion
+        eng.process_frame("cam0", rgb, depth, float(i), sync=False)
+        if i % 20 == 19:
+            counts.append(eng.surfel_count("cam0"))
+    jax.block_until_ready(eng.frontends["cam0"].state.map_count)
+    final = eng.surfel_count("cam0")
+    assert final > 10000, f"map wiped: {counts} -> {final}"
+    # and the map does not grow unboundedly on pure revisits either
+    assert final < cfg.max_surfels * 0.9, f"runaway growth: {counts}"
