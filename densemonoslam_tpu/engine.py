@@ -159,6 +159,24 @@ class Engine:
     def backend_of(self, name: str) -> MapBackend:
         return self.maps[self.frontends[name].map_name]
 
+    def _compact_now(self, fe: Frontend, be: MapBackend) -> None:
+        """Re-partition the map [inactive..., active...] immediately.
+
+        Must run right after a closed loop: the deformation reactivates old
+        surfels (bumps their last-seen to now, reference
+        `copy_unstable.vert:150-156`), but the hot ACTIVE-mode passes only
+        stream the active *tail window* — without a compaction the revived
+        rows would sit in the inactive front block until the next periodic
+        compaction and post-closure tracking/fusion would never see them,
+        fusing duplicate geometry over the revisited region."""
+        m = sm.compact(
+            sm.SurfelMap(data=be.map_data, count=be.map_count),
+            time=float(self.global_tick),
+            time_delta=self.config.time_delta,
+        )
+        be.map_data, be.map_count = m.data, m.count
+        fe.state = fe.state._replace(map_data=m.data, map_count=m.count)
+
     def map_of(self, map_name: str) -> sm.SurfelMap:
         be = self.maps[map_name]
         return sm.SurfelMap(data=be.map_data, count=be.map_count)
@@ -220,6 +238,7 @@ class Engine:
                     if linfo.closed:
                         fe.loops_closed += 1
                         fe.sparse_tracker.pose = np.asarray(fe.state.pose)
+                        self._compact_now(fe, be0)
         if depth_raw is None:
             if not (self.config.predict_depth and self._depth_predictor is not None):
                 raise ValueError(
@@ -300,6 +319,7 @@ class Engine:
                 if linfo.closed:
                     fe.loops_closed += 1
                     be.deforms += 1
+                    self._compact_now(fe, be)
             # inter-map: other maps' fern DBs may recognise this view
             if len({f.map_name for f in self.frontends.values()}) > 1:
                 self._try_intermap(name, rgb, depth_raw)

@@ -198,7 +198,14 @@ def fuse_with_pred(
     # disk resolve, so each surfel then needs exactly ONE gather (its centre
     # cell) instead of nine — on TPU, gather cost ~ rows fetched, and the old
     # 9-tap per-surfel pull was the single most expensive op in fusion.
-    win_f = pred.index.astype(jnp.float32)  # [H,W] winner idx per cell (-1 none)
+    # Key the accumulation cells on the RAW pre-resolve z-buffer winner, not
+    # the post-disk-resolve `pred.index`: a surfel that won its cell but whose
+    # centre pixel resolved to a nearer overlapping neighbour would otherwise
+    # gather nothing at its centre cell while its pixels stayed `matched` —
+    # silently dropping those measurements.  Every surfel appearing in
+    # `pred.index` won its own centre cell in `pred.cell` by construction, so
+    # this guarantees the single per-surfel gather below always lands.
+    win_f = pred.cell.astype(jnp.float32)  # [H,W] raw winner per cell (-1 none)
     acc = jnp.zeros((H, W, 12), jnp.float32)
     half = splat_k // 2
     for dy in range(-half, half + 1):

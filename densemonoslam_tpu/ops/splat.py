@@ -56,6 +56,12 @@ class Prediction(NamedTuple):
     depth: jnp.ndarray  # [H,W] z (0 invalid)
     time: jnp.ndarray  # [H,W] last-seen tick of the winning surfel
     conf: jnp.ndarray  # [H,W] confidence of the winning surfel
+    cell: jnp.ndarray  # [H,W] i32 raw per-cell z-buffer winner BEFORE the
+    # disk resolve (-1 none).  Every surfel visible anywhere in `index` won
+    # its own centre cell here (it only ever scattered to that cell), so
+    # accumulation passes keyed on `cell` can always be gathered back by the
+    # winning surfel — `index` cannot guarantee that (a nearer overlapping
+    # neighbour may cover the winner's own centre pixel after the resolve).
 
 
 def active_window_start(
@@ -154,7 +160,14 @@ def render(
         n_buckets = (1 << z_bits) - 1
         inv = 1.0 / jnp.maximum(z, 1e-3)
         inv_max = 1.0 / 0.05  # z floor already gated at 0.05
-        q = jnp.clip((inv * (n_buckets / inv_max)).astype(jnp.int32), 0, n_buckets)
+        # q >= 1 keeps every valid key strictly below INT32_MAX: a q=0 surfel
+        # at the top window index would hit exactly (n_buckets)*2^idx_bits +
+        # (2^idx_bits - 1) = INT32_MAX and be misread as "no winner".  The
+        # bucket quantisation means the tie-break can prefer a surfel up to
+        # ~z^2 * inv_max / n_buckets metres farther than the true nearest —
+        # far below DEPTH_GATE (5 cm) for any idx_bits <= 21, so association
+        # gates are unaffected.
+        q = jnp.clip((inv * (n_buckets / inv_max)).astype(jnp.int32), 1, n_buckets)
         key = (n_buckets - q) * (1 << idx_bits) + idx
         i32_max = jnp.iinfo(jnp.int32).max  # keys span the full int32 range
         kbuf = jnp.full((HW + 1,), i32_max, jnp.int32).at[tid].min(
@@ -175,6 +188,9 @@ def render(
         win = ibuf[:HW]
         has_win = win < _BIG_INDEX
     win_safe = jnp.where(has_win, win, n_rows - 1)  # any in-range row; masked below
+    cell_map = jnp.where(
+        has_win, (start + win).astype(jnp.int32), -1
+    ).reshape(height, width)
 
     # phase 3: ONE wide row-gather of winner attributes.  TPU gather cost is
     # dominated by rows fetched, not row width, and separate narrow gathers
@@ -268,4 +284,5 @@ def render(
         depth=z_out,
         time=tmap,
         conf=cmap,
+        cell=cell_map,
     )

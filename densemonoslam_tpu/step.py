@@ -143,9 +143,26 @@ def make_step(
         # tracking.  A_init warm-starts GN at the previous frame's pose
         # relative to the prediction's render pose.
         hole = state.pred_depth <= 0
+        # The stored prediction lives in `model_pose`'s camera frame, but the
+        # live frame's vertices/normals live in the CURRENT camera frame.
+        # Composite them through the warm-start `model_rel` (prev-frame cam ->
+        # model cam) so hole pixels have ~zero residual at A = model_rel, not
+        # at A = identity — otherwise hole-filled rows bias GN toward the
+        # stale render pose (up to model_trans_delta over model_max_age
+        # frames).  The residual bias left is one frame of motion, matching
+        # the reference's per-frame re-render + composite.
+        frame_ok = frame_pyr.vmap[0][..., 2] > 0
+        v_in_model = (
+            jnp.einsum("ij,hwj->hwi", state.model_rel[:3, :3], frame_pyr.vmap[0])
+            + state.model_rel[:3, 3]
+        )
+        n_in_model = jnp.einsum(
+            "ij,hwj->hwi", state.model_rel[:3, :3], frame_pyr.nmap[0]
+        )
+        take = (hole & frame_ok)[..., None]
         filled_int = jnp.where(hole, intensity, state.pred_intensity)
-        filled_v = jnp.where(hole[..., None], frame_pyr.vmap[0], state.pred_vmap)
-        filled_n = jnp.where(hole[..., None], frame_pyr.nmap[0], state.pred_nmap)
+        filled_v = jnp.where(take, v_in_model, state.pred_vmap)
+        filled_n = jnp.where(take, n_in_model, state.pred_nmap)
         model_pyr = odometry.build_model_pyramid(
             filled_int, filled_v, filled_n, levels
         )

@@ -57,13 +57,20 @@ def load_frontend(path: str, fe) -> None:
     for k in stepmod.SlamState._fields:
         if f"state_{k}" in z:
             fields[k] = jnp.asarray(z[f"state_{k}"])
-        else:  # tuple field saved level-wise (state_<k>__<i>)
+        elif f"state_{k}__0" in z:  # tuple field saved level-wise
             lv = 0
             vals = []
             while f"state_{k}__{lv}" in z:
                 vals.append(jnp.asarray(z[f"state_{k}__{lv}"]))
                 lv += 1
             fields[k] = tuple(vals)
+        else:
+            # field absent from the checkpoint (written by an older build):
+            # fall back to the frontend's freshly-initialised default rather
+            # than a malformed empty value.  init_state sets model_age to
+            # MODEL_INVALID_AGE, so resumed old checkpoints re-render the
+            # tracking model on the first step instead of crashing obscurely.
+            fields[k] = getattr(fe.state, k)
     fe.state = stepmod.SlamState(**fields)
     if "ferndb_codes" in z:
         from densemonoslam_tpu.mapping import ferns as fernmod
