@@ -1,52 +1,56 @@
-"""Headline benchmark: dense SLAM frames/s on one chip.
+"""Headline benchmark: dense SLAM frames/s on one chip — multi-metric.
 
-Runs the full per-frame pipeline (preprocess + splat predict + fill-in +
-SO3/ICP/RGB tracking + NID gate + fusion + clean) at 640x480 — the
-reference's TUM/ICL operating point — on whatever platform is active
-(the TPU chip under axon; CPU elsewhere), and prints ONE JSON line.
+Emits ONE JSON line whose headline is open-loop 640x480 fps (the reference's
+TUM/ICL operating point; its real-time gate is 30 Hz on a ">=3.5 TFLOPS
+nVidia GPU", `GUI/src/MainController.cpp:389-395`,
+`elasticfusion/README.md:46-60`; `vs_baseline` = fps / 30).  The `extra`
+block carries the full matrix (VERDICT round-1 #6 — claims as artifacts):
 
-Baseline: the reference's real-time gate is 30 Hz at this resolution on a
-">=3.5 TFLOPS nVidia GPU" (`GUI/src/MainController.cpp:389-395`,
-`elasticfusion/README.md:46-60`); `vs_baseline` = our fps / 30.
+- `closed_loop_fps`: same config with the loop-closure machinery enabled at
+  its cadence (fern encode/insert + local-loop attempt every 8 frames);
+- `reloc_fps`: relocalisation mode on (device-side lost counter) — must cost
+  <10% of the headline;
+- `kitti_fps`: 1024x320 (the ECMR'21 KITTI operating point);
+- `collab`: N-camera SPMD step scaling efficiency, measured in a subprocess
+  on a virtual 8-device CPU mesh (the one real chip cannot host a mesh;
+  efficiency is a ratio, so the platform cancels to first order).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 BASELINE_FPS = 30.0
 
 
-def main() -> None:
+def _run_slam(W, H, n_frames, warmup, cfg_kw, intr=None):
     import numpy as np
+    import jax
+    import jax.numpy as jnp
 
     from densemonoslam_tpu.config import (
-        CameraConfig,
-        CameraIntrinsics,
-        EngineConfig,
-        FrameResolution,
+        CameraConfig, CameraIntrinsics, EngineConfig, FrameResolution,
     )
     from densemonoslam_tpu.engine import Engine
     from densemonoslam_tpu.eval import ate_rmse
     from densemonoslam_tpu.io.synthetic import SyntheticSequence
 
-    W, H = 640, 480
     camera = CameraConfig(
         FrameResolution(W, H),
-        CameraIntrinsics(528.0, 528.0, W / 2 - 0.5, H / 2 - 0.5),
+        intr or CameraIntrinsics(528.0 * W / 640, 528.0 * H / 480,
+                                 W / 2 - 0.5, H / 2 - 0.5),
         "bench",
     )
-    n_frames = int(os.environ.get("BENCH_FRAMES", "30"))
-    warmup = 4
-    # ~0.02 m / ~1 deg per frame: a fast handheld camera at 30 Hz
     seq = SyntheticSequence(
-        camera=camera, num_frames=n_frames + warmup, radius=0.12, max_angle=0.12
+        camera=camera, num_frames=n_frames + warmup, radius=0.12,
+        max_angle=0.12,
     )
-    frames = [seq.frame(i) for i in range(n_frames + warmup)]  # pre-render (host)
-
+    frames = [seq.frame(i) for i in range(n_frames + warmup)]
     cfg = EngineConfig(
         max_surfels=1 << 20,
         depth_cutoff=8.0,
@@ -55,58 +59,130 @@ def main() -> None:
         nid_threshold=0.85,
         pyramid_levels=4,
         track_row_stride=2,
-        # the cadenced loop-closure machinery is excluded from the headline
-        # throughput number (it is rare per frame but its one-off executable
-        # compiles would dominate a cold benchmark process)
-        open_loop=True,
+        **cfg_kw,
     )
     eng = Engine(camera, cfg)
     eng.frontend("cam0")
     eng.frontends["cam0"].pose = seq.gt_pose(0).astype(np.float32)
-
-    import jax
-
-    # pre-stage frames on device: a deployment feeds frames over local PCIe /
-    # infeed; this remote-relay link is not the system under test
-    import jax.numpy as jnp
-
     frames = [
         (jax.device_put(jnp.asarray(r)), jax.device_put(jnp.asarray(d)))
         for r, d in frames
     ]
     jax.block_until_ready(frames)
-
     for i in range(warmup):
         rgb, depth = frames[i]
         eng.process_frame("cam0", rgb, depth, float(i), sync=False)
     jax.block_until_ready(eng.frontends["cam0"].state.map_count)
-
     t0 = time.perf_counter()
     for i in range(warmup, warmup + n_frames):
         rgb, depth = frames[i]
         eng.process_frame("cam0", rgb, depth, float(i), sync=False)
     jax.block_until_ready(eng.frontends["cam0"].state.map_count)
-    dt = time.perf_counter() - t0
-    fps = n_frames / dt
-
+    fps = n_frames / (time.perf_counter() - t0)
     est = [p for _, p in eng.frontends["cam0"].trajectory]
     gt = [seq.gt_pose(i) for i in range(len(est))]
-    ate_mm = ate_rmse(est, gt) * 1000.0
+    return fps, ate_rmse(est, gt) * 1000.0, eng
+
+
+_COLLAB_SCRIPT = r"""
+import os, sys, time, json
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+sys.path.insert(0, %(repo)r)
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from densemonoslam_tpu.config import CameraIntrinsics, EngineConfig
+from densemonoslam_tpu.parallel import collab
+from densemonoslam_tpu.parallel.mesh import make_mesh
+
+W, H = 160, 120
+intr = CameraIntrinsics(132.0, 132.0, W / 2 - 0.5, H / 2 - 0.5)
+cfg = EngineConfig(max_surfels=1 << 15, depth_cutoff=10.0, depth_factor=1.0,
+                   nid_keyframing=False, open_loop=True)
+rng = np.random.default_rng(0)
+out = {}
+for n in (1, 8):
+    mesh = make_mesh(n_cams=n, n_map=1, devices=jax.devices()[:n])
+    step = collab.make_collab_step(mesh, intr, H, W, cfg)
+    state = collab.init_state(n, cfg.max_surfels, H, W)
+    rgb = jnp.asarray(rng.integers(0, 255, (n, H, W, 3)), jnp.uint8)
+    dep = jnp.asarray(rng.uniform(0.5, 5.0, (n, H, W)), jnp.float32)
+    state, stats, total = step(state, rgb, dep)  # compile + bootstrap
+    jax.block_until_ready(stats)
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        state, stats, total = step(state, rgb, dep)
+    jax.block_until_ready(stats)
+    dt = time.perf_counter() - t0
+    out[n] = n * iters / dt  # camera-frames per second
+eff = out[8] / (8 * out[1])
+print(json.dumps({"cam_fps_1": round(out[1], 2), "cam_fps_8": round(out[8], 2),
+                  "scaling_efficiency": round(eff, 3)}))
+"""
+
+
+def main() -> None:
+    n_frames = int(os.environ.get("BENCH_FRAMES", "30"))
+    warmup = 4
+    # 1) headline: open-loop 640x480 (loop machinery's one-off compiles would
+    # dominate a cold benchmark process; measured separately below)
+    fps_open, ate_mm, eng = _run_slam(
+        640, 480, n_frames, warmup, dict(open_loop=True)
+    )
+    # 2) closed loop: fern updates + local-loop attempts at cadence.
+    # warm up through TWO loop cadences so the loop programs' one-off
+    # compiles land outside the timed region
+    fps_closed, _, _ = _run_slam(
+        640, 480, n_frames, 18,
+        dict(open_loop=False, loop_check_interval=8, time_delta=200),
+    )
+    # 3) relocalisation mode (device-side lost counter; <10%% headline cost)
+    fps_reloc, _, _ = _run_slam(
+        640, 480, n_frames, warmup, dict(open_loop=True, relocalisation=True)
+    )
+    # 4) KITTI operating point 1024x320
+    from densemonoslam_tpu.config import CameraIntrinsics
+
+    fps_kitti, _, _ = _run_slam(
+        1024, 320, n_frames, warmup, dict(open_loop=True),
+        intr=CameraIntrinsics(707.09, 707.09, 601.89, 183.11),
+    )
+    # 5) collaborative scaling on the virtual CPU mesh (subprocess: the main
+    # process owns the TPU backend)
+    collab_info = {}
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _COLLAB_SCRIPT % {"repo": REPO}],
+            capture_output=True, text=True, timeout=900,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        collab_info = json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as e:  # pragma: no cover - defensive: report, don't die
+        collab_info = {
+            "error": str(e)[:120],
+            "stderr": (proc.stderr[-200:] if "proc" in dir() else ""),
+        }
 
     print(
         json.dumps(
             {
                 "metric": "slam_fps_640x480_1chip",
-                "value": round(fps, 2),
+                "value": round(fps_open, 2),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "vs_baseline": round(fps_open / BASELINE_FPS, 3),
                 "extra": {
                     "ate_mm": round(ate_mm, 2),
                     "surfels": eng.surfel_count("cam0"),
                     "frames": n_frames,
-                    "stage_ms": {
-                        k: round(v, 2) for k, v in eng.timer.summary().items()
-                    },
+                    "closed_loop_fps": round(fps_closed, 2),
+                    "reloc_fps": round(fps_reloc, 2),
+                    "reloc_overhead_pct": round(
+                        100.0 * (1.0 - fps_reloc / max(fps_open, 1e-9)), 1
+                    ),
+                    "kitti_fps_1024x320": round(fps_kitti, 2),
+                    "collab": collab_info,
                 },
             }
         )

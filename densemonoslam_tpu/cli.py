@@ -36,6 +36,18 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--fast-odom", action="store_true", help="`--fo`")
     ap.add_argument("--no-so3", action="store_true", help="`--nso`")
     ap.add_argument("--relocalisation", action="store_true", help="`--rl`")
+    ap.add_argument("--ftf", action="store_true",
+                    help="`--ftf` frame-to-frame RGB tracking model")
+    ap.add_argument("--orb-tracking", action="store_true",
+                    help="`--orb_tracking` pose from the sparse tracker")
+    ap.add_argument("--hybrid-loops", action="store_true",
+                    help="`--hybrid_loops` sparse loop pairs drive deformations")
+    ap.add_argument("--predict-depth", action="store_true",
+                    help="`--predict_depth` monocular: depth from the CNN "
+                         "(dataset depth, if any, is ignored)")
+    ap.add_argument("--depth-weights", default=None,
+                    help="depth-net weights (.npz saved by DepthPredictor, "
+                         "default: packaged synthetic weights)")
     ap.add_argument("--icl", action="store_true", help="`--icl` normal flip")
     ap.add_argument("--time-delta", type=int, default=200, help="`--t`")
     ap.add_argument("--confidence", type=float, default=10.0, help="`--c`")
@@ -114,6 +126,10 @@ def main(argv=None) -> int:
         fast_odom=args.fast_odom,
         so3=not args.no_so3,
         relocalisation=args.relocalisation,
+        frame_to_frame_rgb=args.ftf,
+        orb_tracking=args.orb_tracking,
+        hybrid_loops=args.hybrid_loops,
+        predict_depth=args.predict_depth,
         icl_nuim=args.icl,
         max_surfels=args.max_surfels,
         depth_factor=depth_factor if args.dataset != "synthetic" else 1.0,
@@ -122,6 +138,18 @@ def main(argv=None) -> int:
     )
     eng = Engine(camera, cfg)
     eng.frontend("cam0")
+    if args.predict_depth:
+        from densemonoslam_tpu.models.depthnet import DepthPredictor
+
+        if args.depth_weights:
+            pred = DepthPredictor()
+            pred.load(
+                args.depth_weights, camera.resolution.height,
+                camera.resolution.width,
+            )
+        else:
+            pred = DepthPredictor.pretrained_synthetic()
+        eng.set_depth_predictor(pred)
     if args.stopwatch_udp:
         eng.timer.enable_udp()
     gt_odom = None
@@ -153,6 +181,8 @@ def main(argv=None) -> int:
             rgb, depth, ts = reader.get_next()
         in_pose = gt_odom.pose_at(ts).astype(np.float32) if gt_odom else None
         cluster = gt_clusters.cluster_at(ts) if gt_clusters else 0
+        if args.predict_depth:
+            depth = None  # monocular: the CNN supplies depth
         eng.process_frame(
             "cam0", rgb, depth, ts, in_pose=in_pose, sync=False, cluster=cluster
         )

@@ -89,14 +89,19 @@ class EngineConfig:
     # --- loop-closure acceptance gates ------------------------------------
     icp_count_thresh: int = 35000  # `--ic` inlier count gate
     icp_err_thresh: float = 5e-5  # `--ie` ICP error gate
-    cov_thresh: float = 1e-5  # `--cv` covariance gate
+    cov_thresh: float = 1e-4  # covariance-diagonal gate on loop/reloc
+    # acceptance (reference uses 1e-4 in the reloc ok-test,
+    # `ElasticFusion.cpp:204-244`, 8e-5 in the local-loop gate :427-442;
+    # measured good tracks here sit at ~1e-5, wrong-place matches at ~3e-3)
     photo_thresh: float = 115.0  # `--pt` fern photometric consistency gate
     fern_thresh: float = 0.3095  # `--ft` fern dissimilarity keep threshold
 
     # --- map / fusion ------------------------------------------------------
     confidence_threshold: float = 10.0  # `--c` surfel stable-confidence gate
-    depth_cutoff: float = 3.0  # `--d` metres; depth beyond this ignored
-    max_depth: float = 3.0  # `--md` tracking depth cutoff
+    depth_cutoff: float = 3.0  # `--d` metres; fusion ignores deeper pixels
+    max_depth: float = 25.0  # tracking depth cutoff (reference
+    # maxDepthProcessed = 25 m, `ElasticFusion.cpp:56` — the dense tracker
+    # sees far geometry the fusion cutoff excludes)
     icp_weight: float = 10.0  # `--i` ICP weight vs RGB in joint GN
 
     # --- NID keyframing (`--nid`, `--ndw`, `--nbi`, `--nbd`, `--nkf`) ------
@@ -136,8 +141,12 @@ class EngineConfig:
     predict_depth: bool = False  # `--predict_depth` monocular depth CNN
 
     # --- ferns -------------------------------------------------------------
-    num_ferns: int = 500
-    fern_pyr_level: int = 3  # ferns operate on 8x-downsampled frames
+    num_ferns: int = 500  # `--n` fern tests per frame
+    fern_pyr_level: int = 3  # ferns operate on 2^level-downsampled frames
+    fern_db_capacity: int = 512  # initial keyframe DB capacity; grows
+    # geometrically up to `fern_db_max` (the reference's frame vector is
+    # unbounded, `Ferns.h:76-89`)
+    fern_db_max: int = 4096
 
     # --- capacity ----------------------------------------------------------
     max_surfels: int = 1 << 21  # reference: 5700^2 ~= 32.5M (GlobalModel.cpp:22-24)

@@ -19,6 +19,7 @@ in `densemonoslam_tpu.parallel`.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -28,10 +29,19 @@ import numpy as np
 from densemonoslam_tpu import loops as loopsmod
 from densemonoslam_tpu import step as stepmod
 from densemonoslam_tpu.config import CameraConfig, EngineConfig
+from densemonoslam_tpu.mapping import deformation as dg
 from densemonoslam_tpu.mapping import surfel_map as sm
 from densemonoslam_tpu.ops import splat
 from densemonoslam_tpu.utils.stats import SessionStats
 from densemonoslam_tpu.utils.timer import Stopwatch
+
+_HIST_INITIAL_CAP = 1024
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _hist_append(hist, times, pose, idx, t):
+    """Record one pose in the device pose history (no host sync)."""
+    return hist.at[idx].set(pose), times.at[idx].set(t)
 
 
 @dataclasses.dataclass
@@ -45,8 +55,14 @@ class Frontend:
     step_fn: object
     tick: int = 0
     map_name: str = ""
-    # device handles appended per frame; realised lazily (no sync in the loop)
-    pose_log: List[jnp.ndarray] = dataclasses.field(default_factory=list)
+    # device-resident pose history [cap,4,4] + per-pose session ticks [cap]
+    # (reference per-context poseGraph, `Context.h:117-156`): appended per
+    # frame with one tiny device scatter (no host sync) and REWRITTEN through
+    # the deformation graph on every accepted loop closure
+    # (`Deformation.cpp:106-124,167` applyGraphToPoses over the whole pose
+    # graph) — so exported trajectories reflect closures, not raw odometry.
+    pose_hist: Optional[jnp.ndarray] = None
+    hist_times: Optional[jnp.ndarray] = None
     ts_log: List[float] = dataclasses.field(default_factory=list)
     stats_log: List[jnp.ndarray] = dataclasses.field(default_factory=list)
     stats: SessionStats = dataclasses.field(default_factory=SessionStats)
@@ -67,7 +83,29 @@ class Frontend:
 
     @property
     def trajectory(self) -> List[Tuple[float, np.ndarray]]:
-        return [(t, np.asarray(p)) for t, p in zip(self.ts_log, self.pose_log)]
+        n = len(self.ts_log)
+        if n == 0 or self.pose_hist is None:
+            return []
+        arr = np.asarray(self.pose_hist[:n])
+        return [(t, arr[i]) for i, t in enumerate(self.ts_log)]
+
+    def record_pose(self, pose: jnp.ndarray, session_tick: int) -> None:
+        """Append one pose to the device history (growing it as needed)."""
+        n = len(self.ts_log)  # caller appends ts_log right after
+        if self.pose_hist is None:
+            self.pose_hist = jnp.zeros((_HIST_INITIAL_CAP, 4, 4), jnp.float32)
+            self.hist_times = jnp.zeros((_HIST_INITIAL_CAP,), jnp.float32)
+        if n >= self.pose_hist.shape[0]:
+            self.pose_hist = jnp.concatenate(
+                [self.pose_hist, jnp.zeros_like(self.pose_hist)]
+            )
+            self.hist_times = jnp.concatenate(
+                [self.hist_times, jnp.zeros_like(self.hist_times)]
+            )
+        self.pose_hist, self.hist_times = _hist_append(
+            self.pose_hist, self.hist_times, pose,
+            jnp.asarray(n, jnp.int32), jnp.asarray(session_tick, jnp.float32),
+        )
 
     def finalize_stats(self) -> None:
         """Realise accumulated device stats into SessionStats."""
@@ -101,6 +139,16 @@ class MapBackend:
     map_count: object = None  # jnp []
     contexts: List[str] = dataclasses.field(default_factory=list)
     deforms: int = 0
+    dropped: int = 0  # surfels lost to capacity clamps (merge overflow)
+    # carried relative constraints (reference per-context `relativeCons()`,
+    # `ElasticFusion.cpp:337,373,489-492`): emitted by accepted local
+    # deformations, consumed by every subsequent deformation of this map
+    rel_bank: Optional[loopsmod.RelBank] = None
+
+    def get_rel_bank(self) -> loopsmod.RelBank:
+        if self.rel_bank is None:
+            self.rel_bank = loopsmod.make_rel_bank()
+        return self.rel_bank
 
 
 class Engine:
@@ -177,6 +225,24 @@ class Engine:
         be.map_data, be.map_count = m.data, m.count
         fe.state = fe.state._replace(map_data=m.data, map_count=m.count)
 
+    def _on_loop_closed(self, fe: Frontend, be: MapBackend, graph) -> None:
+        """Everything an accepted deformation must touch beyond the map:
+        rewrite the pose history and the fern keyframe poses through the
+        graph (reference `Deformation::constrain` binds fern poses + the full
+        pose graph, `Deformation.cpp:106-124,167`), then re-partition the map
+        so reactivated surfels enter the hot active tail window."""
+        if fe.pose_hist is not None:
+            fe.pose_hist = dg.apply_to_poses(graph, fe.pose_hist, fe.hist_times)
+        if fe.fern_state is not None:
+            db = fe.fern_state.db
+            fe.fern_state = loopsmod.FernLoopState(
+                coder=fe.fern_state.coder,
+                db=db._replace(
+                    poses=dg.apply_to_poses(graph, db.poses, db.times)
+                ),
+            )
+        self._compact_now(fe, be)
+
     def map_of(self, map_name: str) -> sm.SurfelMap:
         be = self.maps[map_name]
         return sm.SurfelMap(data=be.map_data, count=be.map_count)
@@ -202,9 +268,23 @@ class Engine:
         fe = self.frontends[name]
         t0 = self.timer.tick("frame_dispatch")
         cfg = self.config
+        if depth_raw is None:
+            # monocular: the depth CNN supplies depth BEFORE tracking
+            # (reference order: DepthPrediction::predict then TrackRGBD,
+            # `MainController.cpp:319-338`)
+            if not (cfg.predict_depth and self._depth_predictor is not None):
+                raise ValueError(
+                    "no depth given and no depth predictor attached "
+                    "(set predict_depth=True and call set_depth_predictor)"
+                )
+            depth_raw = self._depth_predictor.predict(jnp.asarray(rgb))
+        sparse_pose_dev = sparse_ok_dev = None
         if cfg.orb_tracking and in_pose is None:
             # hybrid mode: the sparse tracker supplies the pose (reference
-            # `--orb_tracking`, MainController.cpp:338-359)
+            # `--orb_tracking`, MainController.cpp:338-359).  The tracker
+            # returns DEVICE values — the step consumes them directly, so
+            # hybrid mode adds no per-frame host sync (tracker host decisions
+            # batch at its flush cadence).
             if fe.sparse_tracker is None:
                 from densemonoslam_tpu.tracking.sparse import SparseTracker
 
@@ -216,9 +296,7 @@ class Engine:
                 + 0.114 * jnp.asarray(rgb[..., 2], jnp.float32)
             )
             d_m = jnp.asarray(depth_raw, jnp.float32) / cfg.depth_factor
-            sp_pose, sp_ok = fe.sparse_tracker.track(inten, d_m)
-            if sp_ok:
-                in_pose = sp_pose
+            sparse_pose_dev, sparse_ok_dev = fe.sparse_tracker.track(inten, d_m)
             if cfg.hybrid_loops:
                 pair = fe.sparse_tracker.pop_loop()
                 if pair is not None:
@@ -228,8 +306,9 @@ class Engine:
                     fe.state = fe.state._replace(
                         map_data=be0.map_data, map_count=be0.map_count
                     )
-                    fe.state, linfo = loopsmod.apply_hybrid_loop(
-                        fe.state, C.astype(np.float32), fe.camera, cfg
+                    fe.state, linfo, lgraph = loopsmod.apply_hybrid_loop(
+                        fe.state, C.astype(np.float32), fe.camera, cfg,
+                        rel_bank=be0.get_rel_bank(),
                     )
                     be0.map_data, be0.map_count = (
                         fe.state.map_data, fe.state.map_count,
@@ -238,18 +317,15 @@ class Engine:
                     if linfo.closed:
                         fe.loops_closed += 1
                         fe.sparse_tracker.pose = np.asarray(fe.state.pose)
-                        self._compact_now(fe, be0)
-        if depth_raw is None:
-            if not (self.config.predict_depth and self._depth_predictor is not None):
-                raise ValueError(
-                    "no depth given and no depth predictor attached "
-                    "(set predict_depth=True and call set_depth_predictor)"
-                )
-            depth_raw = self._depth_predictor.predict(jnp.asarray(rgb))
-        use_in = in_pose is not None
-        pose_in = jnp.asarray(
-            in_pose if use_in else np.eye(4), jnp.float32
-        )
+                        self._on_loop_closed(fe, be0, lgraph)
+        if sparse_pose_dev is not None:
+            pose_in = sparse_pose_dev
+            use_in = sparse_ok_dev  # device bool: no host branch
+        else:
+            use_in = in_pose is not None
+            pose_in = jnp.asarray(
+                in_pose if use_in else np.eye(4), jnp.float32
+            )
         be = self.backend_of(name)
         # (velocity-based fusion weighting happens on device inside the step —
         # a host-side pose fetch here would force a sync every frame)
@@ -270,10 +346,8 @@ class Engine:
             jnp.asarray(cluster, jnp.float32),
         )
         be.map_data, be.map_count = fe.state.map_data, fe.state.map_count
+        fe.record_pose(fe.state.pose, self.global_tick)
         self.global_tick += 1
-        # detach: the state (incl. its pose buffer) is donated into the next
-        # step call, so log a fresh buffer, not the state's own
-        fe.pose_log.append(fe.state.pose + 0.0)
         fe.ts_log.append(timestamp)
         fe.stats_log.append(stats)
         fe.tick += 1
@@ -292,6 +366,31 @@ class Engine:
             )
             be.map_data, be.map_count = m.data, m.count
             fe.state = fe.state._replace(map_data=m.data, map_count=m.count)
+        # lost-tracking state machine (reference `--rl`,
+        # ElasticFusion.cpp:204-244: >10 consecutive bad frames => lost;
+        # recovery via fern relocalisation).  The bad-frame counter lives in
+        # the device SlamState (`consec_bad`) and fusion is gated on device,
+        # so this path syncs only at the loop-check cadence — NOT per frame.
+        # Runs BEFORE the fern block so a struggling camera stops polluting
+        # the fern DB with wrong-pose keyframes.
+        if cfg.relocalisation and (
+            fe.tick % cfg.loop_check_interval == 0 or fe.lost
+        ):
+            # read the counter from a frame one cadence BACK: that step has
+            # long finished, so the fetch returns without draining the
+            # in-flight pipeline (polling the current frame would stall the
+            # async queue every interval and cost ~1/3 of throughput)
+            lag = 0 if fe.lost else cfg.loop_check_interval
+            idx = len(fe.stats_log) - 1 - lag
+            row_rl = np.asarray(fe.stats_log[max(idx, 0)])
+            fe.consecutive_bad = int(row_rl[stepmod.STAT_CONSEC_BAD])
+            fe.lost = fe.consecutive_bad > 10
+            if fe.lost and self.relocalise(name, rgb, depth_raw):
+                fe.lost = False
+                fe.consecutive_bad = 0
+                fe.state = fe.state._replace(
+                    consec_bad=jnp.asarray(0, jnp.int32)
+                )
         # ---- loop closure / place recognition at host cadence -------------
         if (
             not cfg.open_loop
@@ -300,44 +399,41 @@ class Engine:
         ):
             if fe.fern_state is None:
                 fe.fern_state = loopsmod.make_fern_state(fe.camera, cfg)
+            tracking_healthy = not (
+                cfg.relocalisation and (fe.lost or fe.consecutive_bad > 0)
+            )
             depth_m = jnp.asarray(depth_raw, jnp.float32) / cfg.depth_factor
             intensity = (
                 0.299 * jnp.asarray(rgb[..., 0], jnp.float32)
                 + 0.587 * jnp.asarray(rgb[..., 1], jnp.float32)
                 + 0.114 * jnp.asarray(rgb[..., 2], jnp.float32)
             )
-            fe.fern_state, _, _, _ = loopsmod.update_ferns(
-                fe.fern_state, rgb, depth_m, intensity, fe.state.pose,
-                fe.tick, cfg.fern_thresh,
-            )
-            if self.global_tick > cfg.time_delta:
-                fe.state, linfo = loopsmod.try_local_loop(
-                    fe.state, fe.camera, cfg
+            if tracking_healthy:
+                # the reference only encodes fern keyframes on well-tracked
+                # fused frames (`processFerns` runs inside the ok path)
+                fe.fern_state, _, _, _ = loopsmod.update_ferns(
+                    fe.fern_state, rgb, depth_m, intensity, fe.state.pose,
+                    # stamp with the SESSION tick (the surfel/deformation-node
+                    # timeline) so loop closures can deform fern poses by time
+                    self.global_tick, cfg.fern_thresh,
+                    factor=loopsmod.fern_factor(cfg),
+                    max_capacity=cfg.fern_db_max,
+                )
+            if self.global_tick > cfg.time_delta and tracking_healthy:
+                fe.state, linfo, lgraph, be.rel_bank = loopsmod.try_local_loop(
+                    fe.state, fe.camera, cfg, rel_bank=be.get_rel_bank()
                 )
                 be.map_data, be.map_count = fe.state.map_data, fe.state.map_count
                 fe.last_loop_info = linfo
                 if linfo.closed:
                     fe.loops_closed += 1
                     be.deforms += 1
-                    self._compact_now(fe, be)
+                    self._on_loop_closed(fe, be, lgraph)
             # inter-map: other maps' fern DBs may recognise this view
-            if len({f.map_name for f in self.frontends.values()}) > 1:
+            if tracking_healthy and len(
+                {f.map_name for f in self.frontends.values()}
+            ) > 1:
                 self._try_intermap(name, rgb, depth_raw)
-        # lost-tracking state machine (reference `--rl`,
-        # ElasticFusion.cpp:204-244: >10 consecutive bad frames => lost;
-        # recovery via fern relocalisation)
-        if cfg.relocalisation:
-            row_rl = np.asarray(stats)
-            bad = row_rl[stepmod.STAT_TRACK_OK] < 1.0 or (
-                row_rl[stepmod.STAT_ICP_INL]
-                < 0.05 * fe.camera.resolution.num_pixels
-            )
-            fe.consecutive_bad = fe.consecutive_bad + 1 if bad else 0
-            if fe.consecutive_bad > 10:
-                fe.lost = True
-            if fe.lost and self.relocalise(name, rgb, depth_raw):
-                fe.lost = False
-                fe.consecutive_bad = 0
 
         if not sync:
             return {}
@@ -351,6 +447,7 @@ class Engine:
             "fuse_matched": float(row[stepmod.STAT_MATCHED]),
             "fuse_added": float(row[stepmod.STAT_ADDED]),
             "culled": float(row[stepmod.STAT_CULLED]),
+            "dropped": float(row[stepmod.STAT_DROPPED]),
             "surfels": float(row[stepmod.STAT_SURFELS]),
         }
 
@@ -461,10 +558,11 @@ class Engine:
         rgb8 = jnp.asarray(rgb, jnp.float32)
         from densemonoslam_tpu.mapping import ferns as fernmod
 
+        ff = loopsmod.fern_factor(cfg)
         code = fernmod.encode(
             fe.fern_state.coder,
-            fernmod.downsample_for_ferns(rgb8),
-            fernmod.downsample_for_ferns(depth_m),
+            fernmod.downsample_for_ferns(rgb8, ff),
+            fernmod.downsample_for_ferns(depth_m, ff),
         )
         frame_pyr = odo.build_frame_pyramid(
             jnp.asarray(rgb), depth_m, fe.camera.intrinsics, cfg.pyramid_levels
@@ -500,9 +598,14 @@ class Engine:
         src = self.maps[src_map]
         dst = self.maps[dst_map]
         T = jnp.asarray(T_ab, jnp.float32)
-        dst.map_data, dst.map_count = loopsmod.merge_maps(
+        dst.map_data, dst.map_count, merge_dropped = loopsmod.merge_maps(
             dst.map_data, dst.map_count, src.map_data, src.map_count, T
         )
+        dst.dropped += int(merge_dropped)  # overflow is surfaced, not silent
+        if src.rel_bank is not None:
+            dst.rel_bank = loopsmod.merge_rel_banks(
+                dst.get_rel_bank(), src.rel_bank, T
+            )
         # move every member camera over: transform poses, switch map, merge ferns
         dst_fe = next(
             f for f in self.frontends.values() if f.map_name == dst_map
@@ -515,6 +618,11 @@ class Engine:
                 kf_pose=T @ f.state.kf_pose,
                 model_age=jnp.asarray(stepmod.MODEL_INVALID_AGE, jnp.int32),
             )
+            if f.pose_hist is not None:
+                # the whole trajectory moves into the destination map's frame
+                # (reference transforms member contexts' poseGraphs,
+                # `ReferenceFrame.h:129-149`)
+                f.pose_hist = jnp.einsum("ij,kjl->kil", T, f.pose_hist)
             if f.fern_state is not None and dst_fe.fern_state is not None:
                 dst_fe.fern_state = loopsmod.FernLoopState(
                     coder=dst_fe.fern_state.coder,
@@ -528,18 +636,23 @@ class Engine:
 
     def relocalise(self, name: str, rgb: np.ndarray, depth_raw: np.ndarray) -> bool:
         """Fern relocalisation (reference lost-mode `Ferns::findFrame` path,
-        `ElasticFusion.cpp:359-394`): query the fern DB with the current frame
-        and, on a confident match, reset the camera pose to the stored
-        keyframe pose (the dense tracker then refines from there)."""
+        `ElasticFusion.cpp:359-394` + `Ferns.cpp:277-423`): query the fern DB
+        with the current frame, photometric-check the candidate, then
+        GEOMETRICALLY verify it — render the map at the stored pose, dense-
+        track the frame onto the render, and accept only if the inlier count,
+        ICP error and pose covariance pass (`loops.verify_recovery`).  The
+        accepted pose is the ICP-refined one, not the raw keyframe pose."""
         from densemonoslam_tpu.mapping import ferns as fernmod
+        from densemonoslam_tpu.tracking import odometry as odo
 
         fe = self.frontends[name]
         if fe.fern_state is None or int(fe.fern_state.db.count) == 0:
             return False
         cfg = self.config
+        ff = loopsmod.fern_factor(cfg)
         depth_m = jnp.asarray(depth_raw, jnp.float32) / cfg.depth_factor
-        rgb8 = fernmod.downsample_for_ferns(jnp.asarray(rgb, jnp.float32))
-        d8 = fernmod.downsample_for_ferns(depth_m)
+        rgb8 = fernmod.downsample_for_ferns(jnp.asarray(rgb, jnp.float32), ff)
+        d8 = fernmod.downsample_for_ferns(depth_m, ff)
         code = fernmod.encode(fe.fern_state.coder, rgb8, d8)
         idx, dis = fernmod.best_match(fe.fern_state.db, code)
         if float(dis) > 0.9:
@@ -552,8 +665,18 @@ class Engine:
         )
         if float(photo) > cfg.photo_thresh:
             return False
+        be = self.backend_of(name)
+        frame_pyr = odo.build_frame_pyramid(
+            jnp.asarray(rgb), depth_m, fe.camera.intrinsics, cfg.pyramid_levels
+        )
+        pose, ok, _info = loopsmod.verify_recovery(
+            frame_pyr, fe.fern_state.db.poses[idx], be.map_data, be.map_count,
+            fe.camera, cfg,
+        )
+        if not ok:
+            return False
         fe.state = fe.state._replace(
-            pose=fe.fern_state.db.poses[idx],
+            pose=jnp.asarray(pose, jnp.float32),
             model_age=jnp.asarray(stepmod.MODEL_INVALID_AGE, jnp.int32),
         )
         return True

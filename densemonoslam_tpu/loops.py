@@ -44,6 +44,82 @@ class LoopInfo(NamedTuple):
     cons_error: float
 
 
+class RelBank(NamedTuple):
+    """Ring buffer of carried relative constraints (the reference's
+    per-context `relativeCons()`: 3 sampled constraints appended after every
+    accepted local deformation, `ElasticFusion.cpp:489-492`, consumed by all
+    subsequent local AND global deformations, `ElasticFusion.cpp:337,373`)."""
+
+    cons: dg.RelConstraint
+    next: jnp.ndarray  # [] i32 ring write pointer
+
+
+def make_rel_bank(capacity: int = 64) -> RelBank:
+    return RelBank(cons=dg.empty_rel(capacity), next=jnp.array(0, jnp.int32))
+
+
+@jax.jit
+def merge_rel_banks(dst: RelBank, src: RelBank, T: jnp.ndarray) -> RelBank:
+    """Transform map A's carried relative constraints by T and append them to
+    map B's bank (reference `consumeReferenceFrame` transforms member
+    contexts' relativeCons, `ReferenceFrame.h:129-149`)."""
+    sel = src.cons.valid
+    R = dst.cons.src.shape[0]
+    rank = jnp.cumsum(sel.astype(jnp.int32)) - 1
+    dest = jnp.where(sel, (dst.next + rank) % R, R)
+    d = dst.cons
+    return RelBank(
+        cons=dg.RelConstraint(
+            src=d.src.at[dest].set(
+                se3.transform_points(T, src.cons.src), mode="drop"
+            ),
+            dst=d.dst.at[dest].set(
+                se3.transform_points(T, src.cons.dst), mode="drop"
+            ),
+            src_time=d.src_time.at[dest].set(src.cons.src_time, mode="drop"),
+            dst_time=d.dst_time.at[dest].set(src.cons.dst_time, mode="drop"),
+            valid=d.valid.at[dest].set(src.cons.valid, mode="drop"),
+        ),
+        next=(dst.next + jnp.sum(sel.astype(jnp.int32))) % R,
+    )
+
+
+def _emit_relative(
+    bank: RelBank, graph: dg.DeformGraph, cons: dg.Constraint, n_src: int
+) -> RelBank:
+    """After an accepted deformation, store ~3 spread samples of the point
+    constraints as relative pairs (deformed src, original target) — reference
+    `Deformation.cpp:171-187` (emission: src position AFTER
+    applyGraphToVertices) + `ElasticFusion.cpp:489-492` (keep every
+    size/3-th)."""
+    P = n_src
+    moved = dg.deform_points(graph, cons.src[:P], cons.time[:P])
+    sel = (
+        cons.valid[:P]
+        & ~cons.pinned[:P]
+        & (jnp.arange(P) % max(P // 3, 1) == 0)
+    )
+    R = bank.cons.src.shape[0]
+    rank = jnp.cumsum(sel.astype(jnp.int32)) - 1
+    dest = jnp.where(sel, (bank.next + rank) % R, R)  # R = drop
+    c = bank.cons
+    return RelBank(
+        cons=dg.RelConstraint(
+            src=c.src.at[dest].set(moved, mode="drop"),
+            dst=c.dst.at[dest].set(cons.dst[:P], mode="drop"),
+            src_time=c.src_time.at[dest].set(cons.time[:P], mode="drop"),
+            # the target half of the constraint set is index-aligned with the
+            # source half (same decimated pixel grid), so its times are the
+            # targets' times
+            dst_time=c.dst_time.at[dest].set(cons.time[P:2 * P], mode="drop"),
+            valid=c.valid.at[dest].set(
+                jnp.ones((P,), bool), mode="drop"
+            ),
+        ),
+        next=(bank.next + jnp.sum(sel.astype(jnp.int32))) % R,
+    )
+
+
 def _constraints_from_alignment(
     act_vmap: jnp.ndarray,  # [H,W,3] active prediction vertices (cam frame)
     act_time: jnp.ndarray,  # [H,W] active last-seen ticks
@@ -112,7 +188,7 @@ def _make_local_loop(intr, W: int, H: int, cfg: EngineConfig):
     win = cfg.active_window if cfg.active_window < cfg.max_surfels else 0
 
     @jax.jit
-    def run(state: stepmod.SlamState):
+    def run(state: stepmod.SlamState, bank: RelBank):
         t_now = state.tick
         t_f = t_now.astype(jnp.float32)
         pred_in = splat.render(
@@ -140,10 +216,19 @@ def _make_local_loop(intr, W: int, H: int, cfg: EngineConfig):
             )
             n_valid = jnp.sum((pred_act.depth > 0).astype(jnp.float32))
             inlier_frac = res.icp_inliers / jnp.maximum(n_valid, 1.0)
+            # acceptance mirrors `ElasticFusion.cpp:427-442`: inlier count
+            # (icpCountThresh, scaled from the reference's VGA operating
+            # point), ICP error, and the covariance-diagonal gate
+            count_gate = cfg.icp_count_thresh * (W * H) / (640.0 * 480.0)
+            cov_ok = jnp.all(
+                jnp.diag(odometry.covariance(res)) < cfg.cov_thresh
+            )
             go = (
                 ~res.failed
                 & (inlier_frac >= cfg.loop_inlier_frac)
+                & (res.icp_inliers >= count_gate)
                 & (res.icp_error <= cfg.loop_icp_err_thresh)
+                & cov_ok
             )
 
             def deform(op2):
@@ -159,40 +244,60 @@ def _make_local_loop(intr, W: int, H: int, cfg: EngineConfig):
                 )
                 # anchor the old (inactive-epoch) part; deform the recent part
                 frozen = graph.time < (t_f - cfg.time_delta)
-                graph2, stats = dg.optimise(graph, cons, frozen=frozen)
+                graph2, stats = dg.optimise(
+                    graph, cons, frozen=frozen, rel=bank.cons
+                )
                 accept = stats.mean_cons_error <= cfg.loop_cons_err_thresh
+                n_src = cons.src.shape[0] // 2  # [actives..., pins...]
 
                 def apply_fn(op3):
                     d3, c3 = op3
                     d4 = dg.apply_to_map(d3, c3, graph2)
                     npse = dg.apply_to_pose(graph2, state.pose, t_f)
                     d4 = _reactivate_in_view(d4, c3, npse, t_now)
-                    return d4, npse
+                    return d4, npse, graph2, _emit_relative(
+                        bank, graph2, cons, n_src
+                    )
 
                 def no_apply(op3):
                     d3, _ = op3
-                    return d3, state.pose
+                    return (
+                        d3, state.pose, dg.empty_graph(cfg.max_deform_nodes),
+                        bank,
+                    )
 
-                d5, npse = jax.lax.cond(accept, apply_fn, no_apply, (d2, c2))
-                return d5, npse, accept, stats.mean_cons_error
+                d5, npse, g_out, bank_out = jax.lax.cond(
+                    accept, apply_fn, no_apply, (d2, c2)
+                )
+                return d5, npse, accept, stats.mean_cons_error, g_out, bank_out
 
             def no_deform(op2):
                 d2, _ = op2
-                return d2, state.pose, jnp.asarray(False), jnp.float32(0.0)
+                return (
+                    d2, state.pose, jnp.asarray(False), jnp.float32(0.0),
+                    dg.empty_graph(cfg.max_deform_nodes), bank,
+                )
 
-            d6, npse, closed, cons_err = jax.lax.cond(
+            d6, npse, closed, cons_err, g_out, bank_out = jax.lax.cond(
                 go, deform, no_deform, (data, count)
             )
-            return d6, npse, closed, cons_err, inlier_frac, res.icp_error
+            return (
+                d6, npse, closed, cons_err, inlier_frac, res.icp_error,
+                g_out, bank_out,
+            )
 
         def skip(op):
             data, _ = op
             return (
                 data, state.pose, jnp.asarray(False), jnp.float32(0.0),
                 jnp.float32(0.0), jnp.float32(0.0),
+                dg.empty_graph(cfg.max_deform_nodes), bank,
             )
 
-        data, new_pose, closed, cons_err, inlier_frac, icp_err = jax.lax.cond(
+        (
+            data, new_pose, closed, cons_err, inlier_frac, icp_err, g_out,
+            bank_out,
+        ) = jax.lax.cond(
             inact_frac >= cfg.loop_min_inactive_frac, attempt, skip,
             (state.map_data, state.map_count),
         )
@@ -209,7 +314,7 @@ def _make_local_loop(intr, W: int, H: int, cfg: EngineConfig):
                 icp_err, cons_err,
             ]
         )
-        return new_state, info_vec
+        return new_state, info_vec, g_out, bank_out
 
     _LOCAL_LOOP_CACHE[key] = run
     return run
@@ -219,19 +324,26 @@ def try_local_loop(
     state: stepmod.SlamState,
     camera: CameraConfig,
     cfg: EngineConfig,
-) -> Tuple[stepmod.SlamState, LoopInfo]:
+    rel_bank: Optional[RelBank] = None,
+) -> Tuple[stepmod.SlamState, LoopInfo, dg.DeformGraph, RelBank]:
     """Attempt a local (active-vs-inactive) loop closure at the current pose.
 
     Mirrors `ElasticFusion.cpp:399-495`: INACTIVE combinedPredict ->
     model-to-model `getIncrementalTransformation` -> covariance/inlier/error
     gates -> constraints -> `localDeformation.constrain` -> apply.  One
     jitted device program; a single scalar-vector fetch reports the outcome.
+
+    Also returns the applied deformation graph (all-invalid when not closed)
+    so the caller can correct its pose history and fern poses, mirroring
+    `Deformation::constrain` binding the pose graph (`Deformation.cpp:106-124`).
     """
     run = _make_local_loop(
         camera.intrinsics, camera.resolution.width, camera.resolution.height,
         cfg,
     )
-    state, info_vec = run(state)
+    if rel_bank is None:
+        rel_bank = make_rel_bank()
+    state, info_vec, graph, rel_bank = run(state, rel_bank)
     v = np.asarray(info_vec)
     return state, LoopInfo(
         attempted=True,
@@ -240,7 +352,7 @@ def try_local_loop(
         inlier_frac=float(v[2]),
         icp_error=float(v[3]),
         cons_error=float(v[4]),
-    )
+    ), graph, rel_bank
 
 
 class FernLoopState(NamedTuple):
@@ -248,11 +360,24 @@ class FernLoopState(NamedTuple):
     db: fernmod.FernDB
 
 
-def make_fern_state(camera: CameraConfig, cfg: EngineConfig, capacity: int = 512) -> FernLoopState:
-    w8, h8 = camera.resolution.width // 8, camera.resolution.height // 8
+def fern_factor(cfg: EngineConfig) -> int:
+    """Fern downsampling factor (reference operates at pyramid level
+    `fern_pyr_level`, default 3 = 8x)."""
+    return 1 << cfg.fern_pyr_level
+
+
+def make_fern_state(
+    camera: CameraConfig, cfg: EngineConfig, capacity: Optional[int] = None
+) -> FernLoopState:
+    f = fern_factor(cfg)
+    w8, h8 = camera.resolution.width // f, camera.resolution.height // f
     return FernLoopState(
-        coder=fernmod.make_coder(w8, h8, cfg.depth_cutoff),
-        db=fernmod.empty_db(capacity, h8, w8),
+        coder=fernmod.make_coder(
+            w8, h8, cfg.depth_cutoff, num_ferns=cfg.num_ferns
+        ),
+        db=fernmod.empty_db(
+            capacity or cfg.fern_db_capacity, h8, w8, num_ferns=cfg.num_ferns
+        ),
     )
 
 
@@ -264,16 +389,26 @@ def update_ferns(
     pose: jnp.ndarray,
     t_now: int,
     thresh: float,
+    factor: int = 8,
+    max_capacity: int = 4096,
 ) -> Tuple[FernLoopState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Encode the frame, query the DB (excluding the recent past), and insert
-    if novel.  Returns (state, code, best_idx, best_dissim)."""
-    rgb8 = fernmod.downsample_for_ferns(jnp.asarray(rgb, jnp.float32))
-    d8 = fernmod.downsample_for_ferns(depth_m)
-    i8 = fernmod.downsample_for_ferns(intensity)
+    if novel.  Returns (state, code, best_idx, best_dissim).  The DB doubles
+    in capacity when full (up to `max_capacity`), mirroring the reference's
+    unbounded keyframe vector."""
+    db = fs.db
+    if (
+        db.codes.shape[0] < max_capacity
+        and int(db.count) >= db.codes.shape[0] - 1
+    ):
+        db = fernmod.grow_db(db)
+    rgb8 = fernmod.downsample_for_ferns(jnp.asarray(rgb, jnp.float32), factor)
+    d8 = fernmod.downsample_for_ferns(depth_m, factor)
+    i8 = fernmod.downsample_for_ferns(intensity, factor)
     code = fernmod.encode(fs.coder, rgb8, d8)
-    idx, dis = fernmod.best_match(fs.db, code)
+    idx, dis = fernmod.best_match(db, code)
     db, _added = fernmod.add_frame(
-        fs.db, code, pose, i8, d8, time=t_now, min_dissim=dis, thresh=thresh
+        db, code, pose, i8, d8, time=t_now, min_dissim=dis, thresh=thresh
     )
     return FernLoopState(coder=fs.coder, db=db), code, idx, dis
 
@@ -287,7 +422,8 @@ def apply_hybrid_loop(
     correction: np.ndarray,  # [4,4] world-frame transform: corrected = C @ current
     camera: CameraConfig,
     cfg: EngineConfig,
-) -> Tuple[stepmod.SlamState, LoopInfo]:
+    rel_bank: Optional[RelBank] = None,
+) -> Tuple[stepmod.SlamState, LoopInfo, dg.DeformGraph]:
     """Global loop closure driven by an external (sparse-tracker) pose pair
     (reference hybrid path, `ElasticFusion.cpp:292-355`: an ORB loop-closure
     candidate supplies orbTcwOld/orbTcwNew; surface constraints built on a
@@ -303,12 +439,16 @@ def apply_hybrid_loop(
         camera.intrinsics, camera.resolution.width, camera.resolution.height,
         cfg,
     )
-    state, info_vec = run(state, jnp.asarray(correction, jnp.float32))
+    if rel_bank is None:
+        rel_bank = make_rel_bank()
+    state, info_vec, graph = run(
+        state, jnp.asarray(correction, jnp.float32), rel_bank
+    )
     v = np.asarray(info_vec)
     return state, LoopInfo(
         attempted=True, closed=bool(v[0] > 0), inactive_frac=0.0,
         inlier_frac=1.0, icp_error=0.0, cons_error=float(v[1]),
-    )
+    ), graph
 
 
 _HYBRID_LOOP_CACHE: dict = {}
@@ -324,7 +464,7 @@ def _make_hybrid_loop(intr, W: int, H: int, cfg: EngineConfig):
     win = cfg.active_window if cfg.active_window < cfg.max_surfels else 0
 
     @jax.jit
-    def run(state: stepmod.SlamState, C: jnp.ndarray):
+    def run(state: stepmod.SlamState, C: jnp.ndarray, bank: RelBank):
         t_now = state.tick
         t_f = t_now.astype(jnp.float32)
         pred_act = splat.render(
@@ -360,7 +500,7 @@ def _make_hybrid_loop(intr, W: int, H: int, cfg: EngineConfig):
             sample_rate=cfg.deform_graph_sample_rate,
         )
         frozen = graph.time < (t_f - cfg.time_delta)
-        graph2, stats = dg.optimise(graph, cons, frozen=frozen)
+        graph2, stats = dg.optimise(graph, cons, frozen=frozen, rel=bank.cons)
         # the reference relaxes acceptance for hybrid/global matches
         # (`Deformation.cpp:165`: meanConsError < 3e-4 && error < 0.12 in
         # their units; we scale our gate by 2x vs local loops)
@@ -371,13 +511,13 @@ def _make_hybrid_loop(intr, W: int, H: int, cfg: EngineConfig):
             d3 = dg.apply_to_map(d2, c2, graph2)
             npse = C @ state.pose
             d3 = _reactivate_in_view(d3, c2, npse, t_now)
-            return d3, npse
+            return d3, npse, graph2
 
         def no_apply(op):
             d2, _ = op
-            return d2, state.pose
+            return d2, state.pose, dg.empty_graph(cfg.max_deform_nodes)
 
-        data, new_pose = jax.lax.cond(
+        data, new_pose, g_out = jax.lax.cond(
             accept, apply_fn, no_apply, (state.map_data, state.map_count)
         )
         new_state = state._replace(
@@ -390,7 +530,7 @@ def _make_hybrid_loop(intr, W: int, H: int, cfg: EngineConfig):
         info_vec = jnp.stack(
             [accept.astype(jnp.float32), stats.mean_cons_error]
         )
-        return new_state, info_vec
+        return new_state, info_vec, g_out
 
     _HYBRID_LOOP_CACHE[key] = run
     return run
@@ -438,6 +578,7 @@ def merge_maps(
     rows_a, n_alive = _transform_rows(data_a, count_a, T_ab)
     S = min(rows_a.shape[0], Nb)
     n_take = jnp.minimum(n_alive, jnp.maximum(Nb - count_b - 1, 0))
+    dropped = n_alive - n_take  # overflow accounting (surfaced, not silent)
     start = jnp.clip(count_b, 0, Nb - S)
     off = count_b - start
     existing = jax.lax.dynamic_slice(data_b, (start, 0), (S, 16))
@@ -454,7 +595,7 @@ def merge_maps(
     key = jnp.where(alive, rows[:, sm.INIT_TIME], jnp.inf)
     order = jnp.argsort(key, stable=True)
     data = data.at[:-1].set(rows[order])
-    return data, count
+    return data, count, dropped
 
 
 @jax.jit
@@ -482,31 +623,29 @@ def consume_ferns(db_b: fernmod.FernDB, db_a: fernmod.FernDB, T_ab: jnp.ndarray)
     )
 
 
-def resolve_intermap(
+def verify_recovery(
     frame_pyr,
-    fern_code: jnp.ndarray,
-    other_db: fernmod.FernDB,
-    other_map_data: jnp.ndarray,
-    other_map_count: jnp.ndarray,
+    recovery: jnp.ndarray,  # [4,4] candidate camera pose in the map's frame
+    map_data: jnp.ndarray,
+    map_count: jnp.ndarray,
     camera: CameraConfig,
     cfg: EngineConfig,
-    dissim_thresh: float = 0.45,
+    info: Optional[dict] = None,
 ):
-    """Try to localise the current frame inside ANOTHER map (reference
-    `resolveRelativeTransformationFern`): fern retrieval in the other map ->
-    render its model at the recovery pose -> dense ICP refinement -> gates.
+    """Geometric verification of a candidate pose: render the map at the
+    recovery pose, dense-track the live frame onto the render, and gate on
+    inlier count (`icp_count_thresh`), ICP error (`icp_err_thresh` scale) and
+    pose covariance (`cov_thresh`) — the reference `Ferns::findFrame` ICP
+    refinement + acceptance (`Ferns.cpp:277-423`: ICPerr<3e-4, inliers>400,
+    covariance gate in `ElasticFusion.cpp:359-394,427-442` and
+    `ReferenceFrame.h:98-110`).
 
-    Returns (pose_in_other_map [4,4] np, ok: bool, info dict)."""
+    Returns (refined pose [4,4] np or None, ok: bool, info dict)."""
     intr = camera.intrinsics
     W, H = camera.resolution.width, camera.resolution.height
-    idx, dis = fernmod.best_match(other_db, fern_code)
-    info = {"dissim": float(dis)}
-    if float(dis) > dissim_thresh:
-        return None, False, info
-    recovery = other_db.poses[idx]
+    info = {} if info is None else info
     pred = splat.render(
-        other_map_data, other_map_count, recovery, intr, W, H,
-        0, mode=splat.MODE_ALL,
+        map_data, map_count, recovery, intr, W, H, 0, mode=splat.MODE_ALL,
     )
     coverage = float(jnp.mean((pred.depth > 0).astype(jnp.float32)))
     info["coverage"] = coverage
@@ -523,12 +662,47 @@ def resolve_intermap(
     )
     n_valid = float(jnp.sum((frame_pyr.vmap[0][..., 2] > 0).astype(jnp.float32)))
     inlier_frac = float(res.icp_inliers) / max(n_valid, 1.0)
-    info.update(inlier_frac=inlier_frac, icp_error=float(res.icp_error))
+    # the reference's absolute inlier-count gate, scaled from its VGA
+    # operating point (icpCountThresh=35000 at 640x480)
+    count_gate = cfg.icp_count_thresh * (W * H) / (640.0 * 480.0)
+    cov_diag = np.asarray(jnp.diag(odometry.covariance(res)))
+    info.update(
+        inlier_frac=inlier_frac,
+        icp_error=float(res.icp_error),
+        icp_inliers=float(res.icp_inliers),
+        cov_max=float(cov_diag.max()),
+    )
     if (
         bool(res.failed)
         or inlier_frac < cfg.loop_inlier_frac
+        or float(res.icp_inliers) < count_gate
         or float(res.icp_error) > cfg.loop_icp_err_thresh
+        or cov_diag.max() > cfg.cov_thresh
     ):
         return None, False, info
-    pose_in_b = np.asarray(recovery @ res.A)
-    return pose_in_b, True, info
+    return np.asarray(recovery @ res.A), True, info
+
+
+def resolve_intermap(
+    frame_pyr,
+    fern_code: jnp.ndarray,
+    other_db: fernmod.FernDB,
+    other_map_data: jnp.ndarray,
+    other_map_count: jnp.ndarray,
+    camera: CameraConfig,
+    cfg: EngineConfig,
+    dissim_thresh: float = 0.45,
+):
+    """Try to localise the current frame inside ANOTHER map (reference
+    `resolveRelativeTransformationFern`): fern retrieval in the other map ->
+    render its model at the recovery pose -> dense ICP refinement -> gates.
+
+    Returns (pose_in_other_map [4,4] np, ok: bool, info dict)."""
+    idx, dis = fernmod.best_match(other_db, fern_code)
+    info = {"dissim": float(dis)}
+    if float(dis) > dissim_thresh:
+        return None, False, info
+    return verify_recovery(
+        frame_pyr, other_db.poses[idx], other_map_data, other_map_count,
+        camera, cfg, info,
+    )

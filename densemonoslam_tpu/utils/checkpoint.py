@@ -35,10 +35,16 @@ def save_frontend(path: str, fe) -> None:
         payload.update(
             {f"coder_{k}": np.asarray(v) for k, v in fe.fern_state.coder._asdict().items()}
         )
+    n = len(fe.ts_log)
     payload["pose_log"] = (
-        np.stack([np.asarray(p) for p in fe.pose_log])
-        if fe.pose_log
+        np.asarray(fe.pose_hist[:n])
+        if fe.pose_hist is not None
         else np.zeros((0, 4, 4), np.float32)
+    )
+    payload["hist_times"] = (
+        np.asarray(fe.hist_times[:n])
+        if fe.hist_times is not None
+        else np.zeros((0,), np.float32)
     )
     payload["ts_log"] = np.asarray(fe.ts_log, np.float64)
     payload["stats_log"] = (
@@ -83,7 +89,19 @@ def load_frontend(path: str, fe) -> None:
                 **{k: jnp.asarray(z[f"ferndb_{k}"]) for k in fernmod.FernDB._fields}
             ),
         )
-    fe.pose_log = [jnp.asarray(p) for p in z["pose_log"]]
+    n = z["pose_log"].shape[0]
+    cap = 1024
+    while cap < max(n + 1, 1):
+        cap *= 2
+    hist = np.zeros((cap, 4, 4), np.float32)
+    hist[:n] = z["pose_log"]
+    htimes = np.zeros((cap,), np.float32)
+    if "hist_times" in z:
+        htimes[:n] = z["hist_times"]
+    else:  # older checkpoint: session ticks = frame index (single camera)
+        htimes[:n] = np.arange(n, dtype=np.float32)
+    fe.pose_hist = jnp.asarray(hist)
+    fe.hist_times = jnp.asarray(htimes)
     fe.ts_log = list(z["ts_log"])
     fe.stats_log = [jnp.asarray(s) for s in z["stats_log"]]
     fe.tick = int(z["tick"])

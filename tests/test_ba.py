@@ -181,3 +181,44 @@ def test_distributed_ba_matches_single():
         np.asarray(poses_d), np.asarray(single.poses), atol=1e-3
     )
     assert abs(float(err_d) - float(err_s)) < 0.05
+
+
+def test_sharded_apply_to_map_matches_single_device():
+    """The `map` mesh axis carries a REAL pass: deformation application over
+    row blocks on a 2x4 mesh is bit-identical to the single-device
+    `deformation.apply_to_map` (SURVEY §5.7: surfel tensor sharded by block
+    across chips)."""
+    import numpy as np
+
+    from densemonoslam_tpu.mapping import deformation as dg
+    from densemonoslam_tpu.mapping import surfel_map as sm
+    from densemonoslam_tpu.parallel.map_shard import make_sharded_apply_to_map
+    from densemonoslam_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(3)
+    N = 4096
+    data = np.zeros((N + 1, sm.COLS), np.float32)
+    n = 3000
+    data[:n, 0:3] = rng.uniform(-2, 2, (n, 3))
+    data[:n, sm.CONF] = rng.uniform(0.5, 20.0, n)
+    data[:n, 8:11] = rng.normal(0, 1, (n, 3))
+    data[:n, sm.INIT_TIME] = np.sort(rng.uniform(0, 31, n))
+    count = jnp.asarray(n, jnp.int32)
+    # a non-trivial graph: nodes along x, one half translated
+    K = 32
+    pos = np.zeros((K, 3), np.float32)
+    pos[:, 0] = np.linspace(-2, 2, K)
+    graph = dg.DeformGraph(
+        pos=jnp.asarray(pos),
+        time=jnp.asarray(np.linspace(0, 31, K).astype(np.float32)),
+        valid=jnp.ones((K,), bool),
+        A=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (K, 3, 3)),
+        t=jnp.asarray(
+            np.where(np.arange(K)[:, None] >= K // 2, [0.1, 0.05, 0.0], 0.0)
+        ).astype(jnp.float32),
+    )
+    ref = np.asarray(dg.apply_to_map(jnp.asarray(data.copy()), count, graph))
+    mesh = make_mesh(n_cams=2, n_map=4)
+    run = make_sharded_apply_to_map(mesh)
+    out = np.asarray(run(jnp.asarray(data.copy()), count, graph))
+    np.testing.assert_array_equal(out, ref)

@@ -150,3 +150,52 @@ def test_apply_to_pose():
     out = np.asarray(out)
     np.testing.assert_allclose(out[:3, 3], [1.0, 0.0, 0.2], atol=1e-4)
     np.testing.assert_allclose(out[:3, :3], np.eye(3), atol=1e-4)
+
+
+def test_relative_constraints_preserve_prior_correction():
+    """Carried relative constraints (reference `addRelativeConstraint` +
+    `Deformation.cpp:171-187`) must stop a later optimisation from dragging
+    previously-corrected geometry away: a pair recorded as coincident stays
+    coincident while a new point constraint deforms the nearby recent map."""
+    n = 32
+    pos = np.zeros((n, 3), np.float32)
+    pos[:, 0] = np.arange(n) * 0.1
+    g = dg.DeformGraph(
+        pos=jnp.asarray(pos),
+        time=jnp.asarray(np.arange(n, dtype=np.float32)),
+        valid=jnp.ones((n,), bool),
+        A=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (n, 3, 3)),
+        t=jnp.zeros((n, 3), jnp.float32),
+    )
+    frozen = g.time < 16
+    # new closure: pull recent geometry at x=2.8 up by 0.3
+    cons = dg.Constraint(
+        src=jnp.asarray([[2.8, 0.0, 0.0]], jnp.float32),
+        dst=jnp.asarray([[2.8, 0.3, 0.0]], jnp.float32),
+        time=jnp.asarray([28.0], jnp.float32),
+        valid=jnp.ones((1,), bool),
+        pinned=jnp.zeros((1,), bool),
+    )
+    # prior closure recorded: the point seen at t=26 coincides with the same
+    # spot seen at t=10 (old, frozen epoch)
+    rel = dg.RelConstraint(
+        src=jnp.asarray([[2.6, 0.0, 0.0]], jnp.float32),
+        dst=jnp.asarray([[2.6, 0.0, 0.0]], jnp.float32),
+        src_time=jnp.asarray([26.0], jnp.float32),
+        dst_time=jnp.asarray([10.0], jnp.float32),
+        valid=jnp.ones((1,), bool),
+    )
+
+    def gap(graph):
+        s = dg.deform_points(graph, rel.src, rel.src_time)
+        d = dg.deform_points(graph, rel.dst, rel.dst_time)
+        return float(jnp.linalg.norm(s - d))
+
+    g_no, _ = dg.optimise(g, cons, frozen=frozen)
+    g_rel, _ = dg.optimise(g, cons, frozen=frozen, rel=rel)
+    assert gap(g_no) > 0.04  # without carry-over the pair is torn apart
+    assert gap(g_rel) < 0.5 * gap(g_no)
+    assert gap(g_rel) < 0.03
+    # the new closure's own constraint is still honoured
+    moved = dg.deform_points(g_rel, cons.src, cons.time)
+    assert float(jnp.linalg.norm(moved - cons.dst)) < 0.1

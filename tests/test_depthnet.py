@@ -159,3 +159,87 @@ def test_onnx_initializer_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         params["enc0"]["Conv_0"]["kernel"][1, 2, 0, 5], w[5, 0, 1, 2]
     )
+
+
+def test_pretrained_monocular_tracks():
+    """The PACKAGED weights (examples/train_depthnet.py) make monocular mode
+    functional: <12% relative depth error on a scene view and bounded ATE
+    when the engine runs RGB-only (reference `--predict_depth` headline
+    capability, `DepthPrediction.cpp:3-169`)."""
+    import numpy as np
+
+    from densemonoslam_tpu.config import EngineConfig
+    from densemonoslam_tpu.engine import Engine
+    from densemonoslam_tpu.eval import ate_rmse
+
+    # the packaged net operates at the scene's native 160x120 feed
+    seq = SyntheticSequence(num_frames=40, radius=0.35, max_angle=0.3)
+    pred = DepthPredictor.pretrained_synthetic()
+    rgb, depth = seq.frame(0)
+    d_hat = np.asarray(pred.predict(jnp.asarray(rgb)))
+    m = depth > 0
+    rel = np.mean(np.abs(d_hat[m] - depth[m]) / depth[m])
+    assert rel < 0.12, rel
+
+    cfg = EngineConfig(
+        max_surfels=1 << 17,
+        depth_cutoff=8.0,
+        depth_factor=1.0,
+        nid_keyframing=False,
+        open_loop=True,
+        predict_depth=True,
+    )
+    eng = Engine(seq.camera, cfg)
+    eng.frontend("cam0")
+    eng.set_depth_predictor(pred)
+    eng.frontends["cam0"].pose = seq.gt_pose(0).astype(np.float32)
+    n_ok = 0
+    for i in range(10):
+        rgb, _ = seq.frame(i)
+        info = eng.process_frame("cam0", rgb, None, float(i))
+        n_ok += info["tracking_ok"] == 1.0
+    # CNN depth is ~7% biased: an early frame may fail its guard and
+    # recover; the trajectory must still stay bounded
+    assert n_ok >= 8, n_ok
+    est = [p for _, p in eng.frontends["cam0"].trajectory]
+    gt = [seq.gt_pose(i) for i in range(10)]
+    assert ate_rmse(est, gt) < 0.15
+
+
+def test_onnx_full_depthnet_import(tmp_path):
+    """A full normnet-shaped ONNX file (every conv/groupnorm tensor of the
+    packaged net, conv kernels in ONNX OIHW layout) imports into a working
+    DepthNet whose predictions match the original bit-for-bit."""
+    import numpy as np
+    import jax
+
+    from densemonoslam_tpu.models import onnx_import
+
+    pred = DepthPredictor.pretrained_synthetic()
+    flat = jax.tree_util.tree_flatten_with_path(pred.params)[0]
+    graph = b""
+    name_map = {}
+    for ks, v in flat:
+        path = "/".join(str(k.key) for k in ks)
+        onnx_name = "normnet." + path.replace("/", ".")
+        arr = np.asarray(v)
+        if path.endswith("/kernel") and arr.ndim == 4:
+            arr = np.transpose(arr, (3, 2, 0, 1))  # HWIO -> OIHW
+        graph += _field(5, 2, _tensor_proto(onnx_name, arr))
+        name_map[onnx_name] = path
+    p = tmp_path / "normnet_like.onnx"
+    p.write_bytes(_field(7, 2, graph))
+
+    params = onnx_import.load_depthnet_params(str(p), name_map)
+    pred2 = DepthPredictor(
+        params=jax.tree.map(jnp.asarray, params),
+        widths=pred.net.widths,
+        min_depth=pred.net.min_depth,
+        max_depth=pred.net.max_depth,
+    )
+    rgb = (np.random.default_rng(1).uniform(0, 255, (120, 160, 3))).astype(
+        np.uint8
+    )
+    a = np.asarray(pred.predict(jnp.asarray(rgb)))
+    b = np.asarray(pred2.predict(jnp.asarray(rgb)))
+    np.testing.assert_allclose(a, b, atol=1e-5)

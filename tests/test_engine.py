@@ -156,3 +156,64 @@ def test_nid_gated_map_survives_long_no_fuse_stretch():
     assert final > 10000, f"map wiped: {counts} -> {final}"
     # and the map does not grow unboundedly on pure revisits either
     assert final < cfg.max_surfels * 0.9, f"runaway growth: {counts}"
+
+
+def test_engine_ftf_mode(seq):
+    """`--ftf` (frame-to-frame RGB model, reference `ElasticFusion.cpp:
+    179-181`) must still track the fixture with bounded error."""
+    cfg = EngineConfig(
+        max_surfels=1 << 18,
+        depth_cutoff=8.0,
+        depth_factor=1.0,
+        open_loop=True,
+        nid_keyframing=False,
+        frame_to_frame_rgb=True,
+    )
+    eng = _run_engine(seq, 15, cfg=cfg)
+    est = [p for _, p in eng.frontends["cam0"].trajectory]
+    gt = [seq.gt_pose(i) for i in range(15)]
+    assert ate_rmse(est, gt) < 0.012
+
+
+def test_engine_relocalisation_mode_recovers(seq):
+    """`--rl`: the device-side bad-frame counter trips after sustained
+    tracking failure and fern relocalisation recovers the pose, with no
+    per-frame host sync (counter is polled at the loop-check cadence)."""
+    cfg = EngineConfig(
+        max_surfels=1 << 18,
+        depth_cutoff=8.0,
+        depth_factor=1.0,
+        open_loop=False,
+        nid_keyframing=False,
+        relocalisation=True,
+        loop_check_interval=4,
+        time_delta=200,
+    )
+    eng = Engine(seq.camera, cfg)
+    eng.frontend("cam0")
+    fe = eng.frontends["cam0"]
+    fe.pose = seq.gt_pose(0).astype(np.float32)
+    for i in range(16):
+        rgb, depth = seq.frame(i)
+        eng.process_frame(
+            "cam0", rgb, depth, float(i),
+            in_pose=seq.gt_pose(i).astype(np.float32),
+        )
+    assert int(fe.fern_state.db.count) >= 1
+    # teleport far away: dense tracking fails from here
+    import jax.numpy as jnp
+
+    bad = np.eye(4, dtype=np.float32)
+    bad[:3, 3] = [5.0, 5.0, 5.0]
+    fe.pose = bad
+    fe.state = fe.state._replace(model_age=jnp.asarray(1 << 20, jnp.int32))
+    recovered = False
+    for i in range(30):
+        rgb, depth = seq.frame(i % 16)
+        eng.process_frame("cam0", rgb, depth, float(100 + i))
+        if not fe.lost and i > 12 and fe.consecutive_bad == 0:
+            pass
+    # after sustained failure the counter must have tripped at some poll and
+    # relocalisation snapped the pose back near the map
+    err = np.linalg.norm(np.asarray(fe.state.pose)[:3, 3] - seq.gt_pose(15)[:3, 3])
+    assert err < 1.0, f"pose still far from the map: {err:.2f} m"

@@ -86,7 +86,7 @@ def test_apply_hybrid_loop_folds_map(seq):
     # the 'ORB' correction: undo the drift
     C = np.eye(4, dtype=np.float32)
     C[:3, 3] = -drift
-    state2, info = loops.apply_hybrid_loop(fe.state, C, fe.camera, cfg)
+    state2, info, _ = loops.apply_hybrid_loop(fe.state, C, fe.camera, cfg)
     assert info.closed, info
 
     post_data = np.asarray(state2.map_data)
@@ -101,3 +101,51 @@ def test_apply_hybrid_loop_folds_map(seq):
         (C @ np.asarray(fe.state.pose))[:3, 3],
         atol=1e-5,
     )
+
+
+def test_sparse_long_run_pgo_flat_cost(seq):
+    """300-frame hybrid run (7.5 laps): the sparse tracker's pose graph
+    (odometry + loop edges, `parallel.ba.optimise_pose_graph`) keeps the
+    trajectory bounded across laps, loop closures fire on revisits, and the
+    per-frame sparse cost stays flat as the keyframe count grows (summary
+    retrieval is one matvec, not an O(K) scan)."""
+    import time
+
+    import jax
+
+    from densemonoslam_tpu.ops import preprocess
+    from densemonoslam_tpu.tracking import sparse
+
+    tr = sparse.SparseTracker(
+        seq.camera.intrinsics, loop_min_gap=30, loop_min_votes=40
+    )
+    tr.pose = seq.gt_pose(0).astype(np.float32)
+    n = 300
+    frames = []
+    for i in range(len(seq)):
+        rgb, depth = seq.frame(i)
+        frames.append(
+            (preprocess.rgb_to_intensity(jnp.asarray(rgb)), jnp.asarray(depth))
+        )
+    poses = []
+    batch_t = []
+    t0 = time.perf_counter()
+    for i in range(n):
+        inten, depth = frames[i % len(seq)]
+        pose, _ok = tr.track(inten, depth)
+        poses.append(pose)
+        if (i + 1) % 50 == 0:
+            jax.block_until_ready(pose)
+            t1 = time.perf_counter()
+            batch_t.append(t1 - t0)
+            t0 = t1
+    tr.flush()
+    assert tr.loops_closed >= 1, "no sparse loop closed across 7 revisits"
+    assert len(tr.keyframes) >= 10
+    # flat per-frame cost in K: late batches within 2x of early ones
+    assert np.mean(batch_t[-2:]) < 2.0 * np.mean(batch_t[1:3]), batch_t
+    # bounded trajectory across laps (sparse-only, PGO-corrected live pose)
+    est = [np.asarray(p) for p in poses]
+    gt = [seq.gt_pose(i % len(seq)) for i in range(n)]
+    err = ate_rmse(est, gt)
+    assert err < 0.25, f"sparse 300-frame ATE {err:.3f} m"

@@ -129,7 +129,7 @@ def test_merge_maps_transform_correct(seq):
     data_a[:na, sm.INIT_TIME] = np.arange(na) + 50  # interleaves with B's times
 
     T = _offset()
-    data, count = loops.merge_maps(
+    data, count, _dropped = loops.merge_maps(
         jnp.asarray(data_b), jnp.asarray(nb, jnp.int32),
         jnp.asarray(data_a), jnp.asarray(na, jnp.int32),
         jnp.asarray(T),

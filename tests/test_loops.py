@@ -91,7 +91,7 @@ def test_local_loop_corrects_drift(seq):
     recent = init_times >= 100
     assert recent.sum() > 3000  # the drifted epoch created its own surfels
 
-    state2, info = loops.try_local_loop(fe.state, fe.camera, cfg)
+    state2, info, _, _ = loops.try_local_loop(fe.state, fe.camera, cfg)
     assert info.attempted
     assert info.inactive_frac > 0.05, info
     assert info.closed, info
@@ -112,6 +112,77 @@ def test_local_loop_corrects_drift(seq):
     assert post_err < pre_err
 
 
+def test_loop_closure_corrects_whole_trajectory(seq):
+    """An accepted closure must rewrite the pose HISTORY, not just the
+    current pose (reference `Deformation.cpp:106-124,167` applyGraphToPoses
+    over the full per-context pose graph, exported via
+    `Context::saveTrajectory`, `Context.h:117-156`): full-trajectory ATE must
+    improve >=2x and `save_trajectory` must reflect the corrected poses."""
+    cfg = EngineConfig(
+        max_surfels=1 << 18,
+        depth_cutoff=8.0,
+        depth_factor=1.0,
+        nid_keyframing=False,
+        open_loop=False,
+        loop_check_interval=5,
+        time_delta=50,
+        deform_graph_sample_rate=600,
+        max_deform_nodes=128,
+        loop_min_inactive_frac=0.05,
+        loop_cons_err_thresh=0.02,
+        confidence_threshold=1.0,
+    )
+    drift = np.array([0.08, 0.0, 0.0], np.float32)
+    eng = Engine(seq.camera, cfg)
+    eng.frontend("cam0")
+    fe = eng.frontends["cam0"]
+    fe.pose = seq.gt_pose(0).astype(np.float32)
+    fed, gts = [], []
+    for i in range(10):
+        rgb, depth = seq.frame(i)
+        gt = seq.gt_pose(i).astype(np.float32)
+        eng.process_frame("cam0", rgb, depth, float(i), in_pose=gt)
+        fed.append(gt)
+        gts.append(gt)
+    eng.global_tick = 100  # epoch 1 becomes inactive
+    for i in range(10):
+        rgb, depth = seq.frame(i)
+        gt = seq.gt_pose(i).astype(np.float32)
+        pose = gt.copy()
+        pose[:3, 3] += drift
+        eng.process_frame("cam0", rgb, depth, float(100 + i), in_pose=pose)
+        fed.append(pose)
+        gts.append(gt)
+        if fe.loops_closed:
+            break
+    assert fe.loops_closed >= 1, fe.last_loop_info
+
+    def traj_err(poses):
+        t = np.stack([p[:3, 3] for p in poses])
+        g = np.stack([p[:3, 3] for p in gts[: len(poses)]])
+        return np.sqrt(np.mean(np.sum((t - g) ** 2, axis=1)))
+
+    raw_ate = traj_err(fed)
+    corrected = [p for _, p in fe.trajectory]
+    corr_ate = traj_err(corrected)
+    assert corr_ate < 0.5 * raw_ate, (corr_ate, raw_ate)
+    # the anchored first epoch stayed put
+    for i in range(10):
+        np.testing.assert_allclose(
+            corrected[i][:3, 3], gts[i][:3, 3], atol=0.02
+        )
+    # exports read the corrected history
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "traj.freiburg")
+        eng.save_trajectory("cam0", path)
+        rows = np.loadtxt(path)
+        np.testing.assert_allclose(
+            rows[-1, 1:4], corrected[-1][:3, 3], atol=1e-5
+        )
+
+
 def test_local_loop_no_false_positive_without_overlap(seq):
     """With everything still active (big time window) there is no inactive
     model to close against — the attempt must bail out cleanly."""
@@ -125,7 +196,7 @@ def test_local_loop_no_false_positive_without_overlap(seq):
     )
     eng = _run_drift_session(seq, cfg, n=20, drift_mag=0.0)
     fe = eng.frontends["cam0"]
-    _, info = loops.try_local_loop(fe.state, fe.camera, cfg)
+    _, info, _, _ = loops.try_local_loop(fe.state, fe.camera, cfg)
     assert info.attempted and not info.closed
     assert info.inactive_frac < 0.05
 
@@ -190,3 +261,41 @@ def test_relocalisation_recovers_pose(seq):
     rec = np.asarray(fe.state.pose)
     terr = np.linalg.norm(rec[:3, 3] - seq.gt_pose(5)[:3, 3])
     assert terr < 0.3  # within dense-tracking convergence range
+
+
+def test_relocalisation_rejects_wrong_fern_match(seq):
+    """A fern candidate with matching appearance but a WRONG pose must be
+    rejected by the geometric verification (reference `Ferns::findFrame` ICP
+    refine + ICPerr/inlier/covariance gates, `Ferns.cpp:277-423` — a
+    photometric check alone would accept it)."""
+    cfg = EngineConfig(
+        max_surfels=1 << 18,
+        depth_cutoff=8.0,
+        depth_factor=1.0,
+        nid_keyframing=False,
+        loop_check_interval=4,
+        time_delta=200,
+    )
+    eng = Engine(seq.camera, cfg)
+    eng.frontend("cam0")
+    fe = eng.frontends["cam0"]
+    fe.pose = seq.gt_pose(0).astype(np.float32)
+    for i in range(20):
+        rgb, depth = seq.frame(i)
+        eng.process_frame(
+            "cam0", rgb, depth, float(i), in_pose=seq.gt_pose(i).astype(np.float32)
+        )
+    assert int(fe.fern_state.db.count) >= 1
+    # tamper: keep the stored appearance but point every stored pose at a
+    # different place in the map (similar appearance, wrong place)
+    wrong = seq.gt_pose(19).astype(np.float32)
+    wrong[:3, 3] += np.array([0.8, 0.8, 0.0], np.float32)
+    db = fe.fern_state.db
+    fe.fern_state = loops.FernLoopState(
+        coder=fe.fern_state.coder,
+        db=db._replace(
+            poses=jnp.broadcast_to(jnp.asarray(wrong), db.poses.shape)
+        ),
+    )
+    rgb, depth = seq.frame(5)
+    assert not eng.relocalise("cam0", rgb, depth)
