@@ -65,6 +65,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="stream section timings to 127.0.0.1:45454 (StopwatchViewer)")
     ap.add_argument("--checkpoint", default=None, help="save state here at the end")
     ap.add_argument("--resume", default=None, help="restore state before starting")
+    ap.add_argument("--viewer", type=int, default=None, metavar="PORT",
+                    help="serve the live web viewer on this port (0 = auto); "
+                         "the headless substitute for the reference Pangolin "
+                         "GUI (`GUI/src/Tools/GUI.h`)")
+    ap.add_argument("--viewer-interval", type=int, default=4,
+                    help="publish viewer artefacts every N frames")
+    ap.add_argument("--viewer-hold", action="store_true",
+                    help="keep serving the viewer after the sequence ends")
     return ap
 
 
@@ -165,6 +173,13 @@ def main(argv=None) -> int:
     if args.resume:
         eng.load_checkpoint("cam0", args.resume)
         print(f"resumed from {args.resume} at tick {eng.frontends['cam0'].tick}")
+    viewer = None
+    if args.viewer is not None:
+        from densemonoslam_tpu.viewer import ViewerServer
+
+        viewer = ViewerServer(eng, port=args.viewer, out_dir=args.out or ".")
+        viewer.start()
+        print(f"viewer: {viewer.url()}")
 
     for _ in range(args.skip):
         if not reader.has_more():
@@ -183,10 +198,14 @@ def main(argv=None) -> int:
         cluster = gt_clusters.cluster_at(ts) if gt_clusters else 0
         if args.predict_depth:
             depth = None  # monocular: the CNN supplies depth
+        if viewer is not None:
+            viewer.sync(["cam0"])  # pause/step/params/saves
         eng.process_frame(
             "cam0", rgb, depth, ts, in_pose=in_pose, sync=False, cluster=cluster
         )
         n += 1
+        if viewer is not None and n % args.viewer_interval == 0:
+            viewer.publish("cam0")
         if n == 2:
             t0 = time.perf_counter()
     import jax
@@ -220,6 +239,18 @@ def main(argv=None) -> int:
     if args.checkpoint:
         eng.save_checkpoint("cam0", args.checkpoint)
         print(f"checkpoint: {args.checkpoint}")
+    if viewer is not None:
+        viewer.publish("cam0")
+        if args.viewer_hold:
+            print("sequence done; viewer still serving (Ctrl-C to exit)")
+            try:
+                while True:
+                    viewer.sync(["cam0"])
+                    viewer.publish("cam0")  # keep status/params fresh
+                    time.sleep(0.5)
+            except KeyboardInterrupt:
+                pass
+        viewer.stop()
     return 0
 
 

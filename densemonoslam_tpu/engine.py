@@ -170,6 +170,26 @@ class Engine:
         used with `predict_depth=True` / `--predict_depth`)."""
         self._depth_predictor = predictor
 
+    def update_config(self, **kw) -> None:
+        """Live parameter sync (reference GUI→engine slider sync,
+        `GUI/src/MainController.cpp:768-781`).  Config is baked into the
+        jitted step, so each frontend's step function is re-derived through
+        the step cache: the first use of a new value compiles once, after
+        that the swap is a dictionary lookup."""
+        self.config = self.config.replace(**kw)
+        for fe in self.frontends.values():
+            res = fe.camera.resolution
+            key = (
+                fe.camera.intrinsics, res.width, res.height,
+                fe.sensor_id, self.config,
+            )
+            if key not in self._step_cache:
+                self._step_cache[key] = stepmod.make_step(
+                    fe.camera.intrinsics, res.height, res.width,
+                    self.config, fe.sensor_id,
+                )
+            fe.step_fn = self._step_cache[key]
+
     # ------------------------------------------------------------------ API
     def frontend(self, name: str, sensor_id: Optional[int] = None) -> Frontend:
         """Create a camera frontend in its own new map (reference
