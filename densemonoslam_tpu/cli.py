@@ -73,6 +73,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="publish viewer artefacts every N frames")
     ap.add_argument("--viewer-hold", action="store_true",
                     help="keep serving the viewer after the sequence ends")
+    ap.add_argument("--logs", nargs="+", default=None, metavar="LOG",
+                    help="multi-camera session: one .klg (or TUM/ICL dir) per "
+                         "camera, replayed round-robin (reference `--l log1 "
+                         "--l log2` / MultiLogCameraManager)")
+    ap.add_argument("--live-port", type=int, default=None,
+                    help="also accept live UDP camera streams on this port "
+                         "(MultiLive/MultiMixedCameraManager role)")
+    ap.add_argument("--num-sensors", type=int, default=None,
+                    help="cameras to wait for before starting (reference "
+                         "MainController camera wait loop)")
     return ap
 
 
@@ -108,6 +118,93 @@ def make_reader(args):
     raise ValueError(args.dataset)
 
 
+def _run_multi(args) -> int:
+    """Multi-camera session over a camera manager (reference MainController
+    multi-camera run loop + MultiCameraManagerFactory): every camera gets its
+    own frontend/map; maps merge when inter-map fern loops resolve."""
+    from densemonoslam_tpu.config import CameraConfig, EngineConfig
+    from densemonoslam_tpu.engine import Engine
+    from densemonoslam_tpu.io.camera_manager import (
+        make_camera_manager, run_session,
+    )
+
+    camera = (
+        CameraConfig.kitti_default()
+        if args.dataset == "kitti" else CameraConfig.tum_default()
+    )
+    res = camera.resolution
+    cfg = EngineConfig(
+        time_delta=args.time_delta,
+        confidence_threshold=args.confidence,
+        depth_cutoff=args.depth_cutoff,
+        icp_weight=args.icp_weight,
+        nid_threshold=args.nid_threshold,
+        nid_keyframing=not args.no_nid,
+        open_loop=args.open_loop,
+        fast_odom=args.fast_odom,
+        relocalisation=args.relocalisation,
+        max_surfels=args.max_surfels,
+        depth_factor=1.0,  # managers deliver metric depth
+        pyramid_levels=args.pyramid_levels
+        or (4 if res.height >= 480 else 3),
+    )
+    eng = Engine(camera, cfg)
+    mgr = make_camera_manager(
+        args.logs or [], res.width, res.height,
+        n_sensors=args.num_sensors, live_port=args.live_port,
+    )
+    n_wait = args.num_sensors or len(args.logs or []) or 1
+    if not mgr.wait_for_cameras(n_wait, timeout=30.0):
+        print(f"timed out waiting for {n_wait} cameras "
+              f"(found {len(mgr.cameras())})")
+    viewer = None
+    if args.viewer is not None:
+        from densemonoslam_tpu.viewer import ViewerServer
+
+        viewer = ViewerServer(eng, port=args.viewer, out_dir=args.out or ".")
+        viewer.start()
+        print(f"viewer: {viewer.url()}")
+    t0 = time.perf_counter()
+    processed = run_session(
+        eng, mgr, args.frames, viewer=viewer,
+        viewer_interval=args.viewer_interval,
+    )
+    import jax
+
+    for name in eng.frontends:
+        jax.block_until_ready(eng.frontends[name].state.map_count)
+    dt = time.perf_counter() - t0
+    total = sum(processed.values())
+    print(
+        f"processed {total} frames over {len(processed)} cameras "
+        f"at {total / max(dt, 1e-9):.1f} fps; maps: "
+        + ", ".join(f"{m}={eng.surfel_count(m)}" for m in eng.maps)
+    )
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        for name in eng.frontends:
+            eng.save_trajectory(
+                name, os.path.join(args.out, f"{name}.freiburg")
+            )
+        for m in list(eng.maps):
+            eng.save_ply(m, os.path.join(args.out, f"{m}.ply"),
+                         stable_only=False)
+        print(f"exports in {args.out}")
+    if viewer is not None:
+        for name in eng.frontends:
+            viewer.publish(name)
+        if args.viewer_hold:
+            print("session done; viewer still serving (Ctrl-C to exit)")
+            try:
+                while True:
+                    viewer.sync(list(eng.frontends))
+                    time.sleep(0.5)
+            except KeyboardInterrupt:
+                pass
+        viewer.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.platform == "cpu" or (args.platform is None and os.environ.get("JAX_PLATFORMS") == "cpu"):
@@ -120,6 +217,9 @@ def main(argv=None) -> int:
 
     from densemonoslam_tpu.config import EngineConfig
     from densemonoslam_tpu.engine import Engine
+
+    if args.logs or args.live_port is not None:
+        return _run_multi(args)
 
     reader, camera, depth_factor = make_reader(args)
     cfg = EngineConfig(

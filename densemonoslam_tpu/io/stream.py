@@ -130,6 +130,7 @@ class FrameReceiver:
         self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 8 << 20)
         self.sock.bind(("0.0.0.0", port))
+        self.port = self.sock.getsockname()[1]  # resolved when port=0
         self.sock.settimeout(0.2)
         self.queues: Dict[str, "queue.Queue"] = {}
         self.queue_size = queue_size
