@@ -19,6 +19,20 @@ functional state transformed by jitted steps:
   ``jax.sharding.Mesh`` (``parallel``), not LCM UDP multicast into one GPU.
 """
 
+import jax as _jax
+
+# SLAM is a geometry pipeline, not a neural net: poses chain multiplicatively
+# and the GN normal equations difference near-equal quantities, so the TPU
+# default of bf16 MXU passes for f32 matmuls (~8 mantissa bits, ~4e-3
+# relative) injects millimetre-level noise into every vertex transform and
+# Gram reduction — measured 59 mm ATE on-chip vs 0.7 mm on CPU for the same
+# code.  Force true-f32 matmuls package-wide (the 6-pass bf16 emulation);
+# every geometry matmul here is skinny (K<=32 Gram factors, 3x3/4x4 poses),
+# so the 6x FLOP cost is noise next to the bandwidth-bound image passes.
+# Model code that genuinely wants bf16 (DepthNet convs) can request
+# precision='default' per-op.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from densemonoslam_tpu.config import (
     CameraIntrinsics,
     EngineConfig,

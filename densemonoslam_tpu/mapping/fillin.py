@@ -50,8 +50,8 @@ def fill_in(
         fv, fn = frame_vmap, frame_nmap
     else:
         R, t = frame_to_model[:3, :3], frame_to_model[:3, 3]
-        fv = jnp.einsum("ij,hwj->hwi", R, frame_vmap) + t
-        fn = jnp.einsum("ij,hwj->hwi", R, frame_nmap)
+        fv = jnp.sum(R * frame_vmap[..., None, :], axis=-1) + t
+        fn = jnp.sum(R * frame_nmap[..., None, :], axis=-1)
     frame_ok = frame_vmap[..., 2] > 0
     take = (hole & frame_ok)[..., None]
     return FilledModel(

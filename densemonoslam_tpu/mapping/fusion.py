@@ -156,8 +156,8 @@ def fuse_with_pred(
     # --- per-pixel contribution payload ------------------------------------
     x_pix, y_pix = warp.pixel_grid(H, W)
     a = sample_confidence(x_pix, y_pix, intr, weight_mult) * matched
-    p_w = jnp.einsum("ij,hwj->hwi", pose[:3, :3], vmap_c) + pose[:3, 3]
-    n_w = jnp.einsum("ij,hwj->hwi", pose[:3, :3], nmap_c)
+    p_w = se3.transform_points(pose, vmap_c)
+    n_w = se3.rotate_vectors(pose, nmap_c)
     r_new = _new_radius(z_f, nmap_c[..., 2], intr.fx)
     a3 = a[..., None]
     payload = jnp.concatenate(

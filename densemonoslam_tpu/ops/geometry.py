@@ -75,8 +75,9 @@ def transform_maps(
     """Rigidly transform vertex+normal maps, keeping invalid markers
     (reference `tranformMaps`)."""
     valid = vmap[..., 2] > 0
-    v = jnp.einsum("ij,hwj->hwi", T[:3, :3], vmap) + T[:3, 3]
-    n = jnp.einsum("ij,hwj->hwi", T[:3, :3], nmap)
+    # elementwise (VPU, exact f32) — see utils.se3.transform_points
+    v = jnp.sum(T[:3, :3] * vmap[..., None, :], axis=-1) + T[:3, 3]
+    n = jnp.sum(T[:3, :3] * nmap[..., None, :], axis=-1)
     return jnp.where(valid[..., None], v, 0.0), jnp.where(valid[..., None], n, 0.0)
 
 

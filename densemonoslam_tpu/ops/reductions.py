@@ -220,7 +220,7 @@ def so3_rows(
         [(uu - intr.cx) / intr.fx, (vv - intr.cy) / intr.fy, jnp.ones_like(uu)],
         axis=-1,
     )
-    rd = jnp.einsum("ij,pj->pi", R, d)
+    rd = jnp.sum(R * d[:, None, :], axis=-1)  # K=3: elementwise beats padded MXU
     u, v, z = geometry.project(rd, intr)
     inb = geometry.in_bounds(u, v, W, H, margin=1) & (z > 0)
     i_m = geometry.bilinear_sample(intensity_m, u, v)
@@ -482,7 +482,7 @@ def so3_rows_packed(
         [(uu - intr.cx) / intr.fx, (vv - intr.cy) / intr.fy, jnp.ones_like(uu)],
         axis=-1,
     )
-    rd = jnp.einsum("ij,pj->pi", R, d)
+    rd = jnp.sum(R * d[:, None, :], axis=-1)  # K=3: elementwise beats padded MXU
     u, v, z = geometry.project(rd, intr)
     smp = sample_model(model_pack, u, v)
     r = smp.i_m - intensity_c.reshape(P)
