@@ -396,11 +396,15 @@ class Engine:
         if cfg.relocalisation and (
             fe.tick % cfg.loop_check_interval == 0 or fe.lost
         ):
-            # read the counter from a frame one cadence BACK: that step has
+            # read the counter from a frame two cadences BACK: that step has
             # long finished, so the fetch returns without draining the
             # in-flight pipeline (polling the current frame would stall the
-            # async queue every interval and cost ~1/3 of throughput)
-            lag = 0 if fe.lost else cfg.loop_check_interval
+            # async queue every interval and cost ~1/3 of throughput; even a
+            # one-cadence lag caps the pipeline depth below what a tunnelled
+            # TPU needs — measured 17% fps overhead at lag 8 vs <5% at 16).
+            # Detection latency worst-case is ~3 cadences, well inside the
+            # reference's own >10-bad-frames trip wire.
+            lag = 0 if fe.lost else 2 * cfg.loop_check_interval
             idx = len(fe.stats_log) - 1 - lag
             row_rl = np.asarray(fe.stats_log[max(idx, 0)])
             fe.consecutive_bad = int(row_rl[stepmod.STAT_CONSEC_BAD])

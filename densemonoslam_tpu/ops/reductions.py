@@ -277,6 +277,28 @@ def solve_so3(JtJ3: jnp.ndarray, Jtr3: jnp.ndarray, damping: float = 0.0) -> jnp
     return _inv3(Areg) @ (-Jtr3)
 
 
+def diag_inv_6x6(A: jnp.ndarray, damping: float = 1e-12) -> jnp.ndarray:
+    """diag(A^-1) for an SPD 6x6 (the tracking covariance diagonal, reference
+    `getCovariance()` = lastA.inverse, `RGBDOdometry.cpp:607-610`) via the
+    same 3x3 block Schur complement as `solve_se3`.  A generic
+    `jnp.linalg.inv` lowers to LU — scalar-sequential on TPU and measured at
+    >2 ms/frame inside the jitted step; this closed form is a handful of
+    vector ops.
+
+    For A = [[P, Q], [Q^T, S]]:
+        diag(A^-1)[:3] = diag(P^-1 + M Ssc^-1 M^T),  M = P^-1 Q
+        diag(A^-1)[3:] = diag(Ssc^-1),               Ssc = S - Q^T M
+    """
+    Areg = A + damping * jnp.eye(6, dtype=A.dtype)
+    P, Q, S = Areg[:3, :3], Areg[:3, 3:], Areg[3:, 3:]
+    Pinv = _inv3(P)
+    M = Pinv @ Q
+    Ssc_inv = _inv3(S - Q.T @ M)
+    top = jnp.diagonal(Pinv) + jnp.sum((M @ Ssc_inv) * M, axis=-1)
+    bot = jnp.diagonal(Ssc_inv)
+    return jnp.concatenate([top, bot])
+
+
 def combined_system(
     M_icp: jnp.ndarray, M_rgb: jnp.ndarray, icp_weight: float, rgb_scale: float = 1.0
 ) -> Tuple[GramStats, GramStats, jnp.ndarray, jnp.ndarray]:

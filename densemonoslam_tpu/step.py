@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from densemonoslam_tpu.config import CameraIntrinsics, EngineConfig
 from densemonoslam_tpu.mapping import fillin, fusion, keyframe as kfmod
 from densemonoslam_tpu.mapping import surfel_map as sm
-from densemonoslam_tpu.ops import geometry, preprocess, splat
+from densemonoslam_tpu.ops import geometry, preprocess, reductions, splat
 from densemonoslam_tpu.tracking import odometry
 from densemonoslam_tpu.utils import se3
 
@@ -190,9 +190,9 @@ def make_step(
         # (used by the lost detector, and by the fuse gate below)
         model_cover = jnp.mean((state.pred_depth > 0).astype(jnp.float32))
         if cfg.relocalisation:
-            cov_d = jnp.diag(
-                jnp.linalg.inv(res.JtJ + 1e-12 * jnp.eye(6, dtype=jnp.float32))
-            )
+            # closed-form diag of the 6x6 covariance — jnp.linalg.inv's LU is
+            # scalar-sequential on TPU and cost >2 ms/frame here
+            cov_d = reductions.diag_inv_6x6(res.JtJ)
             # when the map renders to (almost) nothing at the current pose,
             # the fill-in composite degrades tracking to frame-to-frame —
             # residuals look healthy but say nothing about the map, so low
