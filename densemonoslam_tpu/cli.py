@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--num-sensors", type=int, default=None,
                     help="cameras to wait for before starting (reference "
                          "MainController camera wait loop)")
+    ap.add_argument("--width", type=int, default=None,
+                    help="frame width for --logs sessions (default: dataset "
+                         "operating point; intrinsics scale with it)")
+    ap.add_argument("--height", type=int, default=None,
+                    help="frame height for --logs sessions")
     return ap
 
 
@@ -132,6 +137,21 @@ def _run_multi(args) -> int:
         CameraConfig.kitti_default()
         if args.dataset == "kitti" else CameraConfig.tum_default()
     )
+    if args.width and args.height:
+        from densemonoslam_tpu.config import (
+            CameraIntrinsics, FrameResolution,
+        )
+
+        r0 = camera.resolution
+        sx, sy = args.width / r0.width, args.height / r0.height
+        i0 = camera.intrinsics
+        camera = CameraConfig(
+            FrameResolution(args.width, args.height),
+            CameraIntrinsics(i0.fx * sx, i0.fy * sy,
+                             (i0.cx + 0.5) * sx - 0.5,
+                             (i0.cy + 0.5) * sy - 0.5),
+            camera.name,
+        )
     res = camera.resolution
     cfg = EngineConfig(
         time_delta=args.time_delta,

@@ -124,3 +124,34 @@ def test_mixed_session_log_plus_live(two_logs):
     assert eng.frontends["live0"].tick == 4
     sender.close()
     recv.close()
+
+
+def test_cli_multi_camera_session(two_logs, tmp_path):
+    """`--logs a.klg b.klg` runs a collaborative session end-to-end through
+    the CLI (the reference `--l log1 --l log2` mode) and exports per-camera
+    trajectories + per-map clouds."""
+    import os
+    import subprocess
+    import sys
+
+    a, b = two_logs
+    out = tmp_path / "multi"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "densemonoslam_tpu.cli",
+            "--platform", "cpu", "--logs", a, b,
+            "--width", str(W), "--height", str(H),
+            "--frames", "5", "--open-loop", "--no-nid",
+            "--max-surfels", str(1 << 14), "--out", str(out),
+        ],
+        capture_output=True, text=True, timeout=500,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "over 2 cameras" in proc.stdout
+    for f in ["cam0.freiburg", "cam1.freiburg", "cam0.ply", "cam1.ply"]:
+        assert (out / f).exists(), f
