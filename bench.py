@@ -72,12 +72,12 @@ def _run_slam(W, H, n_frames, warmup, cfg_kw, intr=None):
     for i in range(warmup):
         rgb, depth = frames[i]
         eng.process_frame("cam0", rgb, depth, float(i), sync=False)
-    jax.block_until_ready(eng.frontends["cam0"].state.map_count)
+    jax.block_until_ready(eng.frontends["cam0"].state.map_data)
     t0 = time.perf_counter()
     for i in range(warmup, warmup + n_frames):
         rgb, depth = frames[i]
         eng.process_frame("cam0", rgb, depth, float(i), sync=False)
-    jax.block_until_ready(eng.frontends["cam0"].state.map_count)
+    jax.block_until_ready(eng.frontends["cam0"].state.map_data)
     fps = n_frames / (time.perf_counter() - t0)
     est = [p for _, p in eng.frontends["cam0"].trajectory]
     gt = [seq.gt_pose(i) for i in range(len(est))]

@@ -192,7 +192,7 @@ def _run_multi(args) -> int:
     import jax
 
     for name in eng.frontends:
-        jax.block_until_ready(eng.frontends[name].state.map_count)
+        jax.block_until_ready(eng.frontends[name].state.map_data)
     dt = time.perf_counter() - t0
     total = sum(processed.values())
     print(
@@ -330,7 +330,7 @@ def main(argv=None) -> int:
             t0 = time.perf_counter()
     import jax
 
-    jax.block_until_ready(eng.frontends["cam0"].state.map_count)
+    jax.block_until_ready(eng.frontends["cam0"].state.map_data)
     fps = (n - 2) / (time.perf_counter() - t0) if t0 and n > 2 else 0.0
 
     print(f"processed {n} frames at {fps:.1f} fps; surfels={eng.surfel_count('cam0')}")

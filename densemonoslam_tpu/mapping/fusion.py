@@ -112,13 +112,10 @@ def fuse(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("intr", "splat_k", "window", "time_delta"),
-    donate_argnames=("m",),
-)
-def fuse_with_pred(
-    m: sm.SurfelMap,
+def fuse_window(
+    rows: jnp.ndarray,  # [n_rows, 16] the block of map rows to update
+    row_start: jnp.ndarray,  # [] i32 global index of rows[0]
+    count: jnp.ndarray,  # [] i32 allocated map rows
     pred: splat.Prediction,  # ACTIVE-mode prediction at `pose` (global indices)
     vmap_c: jnp.ndarray,
     nmap_c: jnp.ndarray,
@@ -129,23 +126,28 @@ def fuse_with_pred(
     sensor: int = 0,
     weight_mult: jnp.ndarray | float = 1.0,
     splat_k: int = 3,
-    window: int = 0,
     clean_depth: jnp.ndarray | None = None,
     conf_threshold: float = 10.0,
     unstable_ttl: int = UNSTABLE_TTL,
     time_delta: int = 200,
     cluster_id: jnp.ndarray | float = 0.0,
-) -> Tuple[sm.SurfelMap, FuseStats]:
-    """Fusion given an already-rendered association prediction (lets the
-    caller share one render between association and tracking fill-in).
+):
+    """The window-level fusion core: association + weighted update + inline
+    clean + new-row packing, WITHOUT touching the full map tensor.
 
-    With `clean_depth` (the frame's metric depth), the copy_unstable outlier
-    cull (`clean`) runs inline: the observed depth rides the same per-surfel
-    gather the update pass needs anyway, so cleaning costs no extra pass."""
+    Returns ``(blk, packed, n_want, matched, culled)`` where `blk` is the
+    updated row block, `packed` the [HW,16] new-surfel rows sorted new-first
+    and `n_want` how many are real.  Callers place these with
+    `place_updates` — keeping the full-capacity buffer out of this function
+    (and out of any `lax.cond` wrapping it) lets XLA alias the big tensor
+    through plain dynamic_update_slice ops, so per-frame cost stays bound by
+    the window even at the reference's 32.5M-surfel capacity (a conditional
+    that *returns* the map forces full-buffer copies that scale with N)."""
     H, W, _ = vmap_c.shape
     HW = H * W
-    N = m.capacity
     t_now = jnp.asarray(time, jnp.float32)
+    n_rows = rows.shape[0]
+    start = row_start
 
     z_f = vmap_c[..., 2]
     valid_f = (z_f > 0) & (jnp.linalg.norm(nmap_c, axis=-1) > 0.5)
@@ -173,16 +175,8 @@ def fuse_with_pred(
     )  # [H, W, 12]
 
     # --- pull pass: each surfel gathers contributions addressed to it ------
-    if window > 0 and window < N:
-        start = splat.active_window_start(m.count, N, window)
-        rows = jax.lax.dynamic_slice(m.data, (start, 0), (window, sm.COLS))
-        n_rows = window
-    else:
-        start = jnp.array(0, jnp.int32)
-        rows = m.data[:-1]
-        n_rows = N
     idx = start + jnp.arange(n_rows)  # global row ids (payload indices are global)
-    alive = (rows[:, sm.CONF] > 0) & (idx < m.count)
+    alive = (rows[:, sm.CONF] > 0) & (idx < count)
     Tinv = se3.se3_inverse(pose)
     p_s = se3.transform_points(Tinv, rows[:, sm.POS])
     z_s = p_s[:, 2]
@@ -287,9 +281,8 @@ def fuse_with_pred(
         culled = jnp.sum(kill.astype(jnp.int32))
     else:
         culled = jnp.array(0, jnp.int32)
-    data = jax.lax.dynamic_update_slice(m.data, blk, (start, 0))
 
-    # --- insertion of unmatched pixels (contiguous compact-append) ---------
+    # --- pack unmatched pixels as candidate new surfels ---------------------
     is_new = (valid_f & ~matched).reshape(HW)
     new_rows = jnp.zeros((HW, 16), jnp.float32)
     a_flat = sample_confidence(x_pix, y_pix, intr, weight_mult).reshape(HW)
@@ -307,29 +300,97 @@ def fuse_with_pred(
     order = jnp.argsort(~is_new, stable=True)  # new pixels first
     packed = new_rows[order]
     n_want = jnp.sum(is_new.astype(jnp.int32))
+    return blk, packed, n_want, jnp.sum(matched.astype(jnp.int32)), culled
+
+
+def place_updates(
+    data: jnp.ndarray,  # [N+1, 16] full map tensor
+    count: jnp.ndarray,  # [] i32
+    blk: jnp.ndarray,  # [n_rows, 16] updated block from fuse_window
+    row_start: jnp.ndarray,  # [] i32 where blk goes
+    packed: jnp.ndarray,  # [HW, 16] new rows, real ones first
+    n_want: jnp.ndarray,  # [] i32 how many packed rows are real
+):
+    """Write a fused block + append packed new rows into the map tensor.
+
+    Pure dynamic slice/update ops over the full buffer (alias-friendly —
+    keep these OUTSIDE any lax.cond; see `fuse_window`).  Returns
+    ``(data, new_count, n_new, dropped)``."""
+    N = data.shape[0] - 1
+    HW = packed.shape[0]
+    data = jax.lax.dynamic_update_slice(data, blk, (row_start, 0))
     # headroom guard: drop the frame's insertions if the map is nearly full
-    room = N - m.count
+    room = N - count
     n_new = jnp.minimum(n_want, jnp.maximum(room - 1, 0))
     # contiguous write window [start, start+S); normally start == count, but
     # near capacity the window is clamped and the first (count - start) rows
     # are live — `keep` skips them and `roll` realigns the packed rows
     S = min(HW, N)
-    start = jnp.clip(m.count, 0, N - S)
-    off = m.count - start
+    start = jnp.clip(count, 0, N - S)
+    off = count - start
     existing = jax.lax.dynamic_slice(data, (start, 0), (S, 16))
     i_rows = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)[:, 0]
     keep = (i_rows >= off) & (i_rows - off < n_new)
     packed_roll = jnp.roll(packed[:S], off, axis=0)
     blended = jnp.where(keep[:, None], packed_roll, existing)
     data = jax.lax.dynamic_update_slice(data, blended, (start, 0))
-    new_count = jnp.minimum(m.count + n_new, N).astype(jnp.int32)
+    new_count = jnp.minimum(count + n_new, N).astype(jnp.int32)
+    return data, new_count, n_new, n_want - n_new
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("intr", "splat_k", "window", "time_delta"),
+    donate_argnames=("m",),
+)
+def fuse_with_pred(
+    m: sm.SurfelMap,
+    pred: splat.Prediction,  # ACTIVE-mode prediction at `pose` (global indices)
+    vmap_c: jnp.ndarray,
+    nmap_c: jnp.ndarray,
+    rgb_c: jnp.ndarray,
+    pose: jnp.ndarray,
+    intr: CameraIntrinsics,
+    time: jnp.ndarray | int,
+    sensor: int = 0,
+    weight_mult: jnp.ndarray | float = 1.0,
+    splat_k: int = 3,
+    window: int = 0,
+    clean_depth: jnp.ndarray | None = None,
+    conf_threshold: float = 10.0,
+    unstable_ttl: int = UNSTABLE_TTL,
+    time_delta: int = 200,
+    cluster_id: jnp.ndarray | float = 0.0,
+) -> Tuple[sm.SurfelMap, FuseStats]:
+    """Fusion given an already-rendered association prediction (lets the
+    caller share one render between association and tracking fill-in).
+
+    With `clean_depth` (the frame's metric depth), the copy_unstable outlier
+    cull (`clean`) runs inline: the observed depth rides the same per-surfel
+    gather the update pass needs anyway, so cleaning costs no extra pass.
+
+    This wrapper = window slice -> `fuse_window` -> `place_updates`; step.py
+    calls the pieces directly so the full map never crosses a lax.cond."""
+    N = m.capacity
+    if window > 0 and window < N:
+        start = splat.active_window_start(m.count, N, window)
+        rows = jax.lax.dynamic_slice(m.data, (start, 0), (window, sm.COLS))
+    else:
+        start = jnp.array(0, jnp.int32)
+        rows = m.data[:-1]
+    blk, packed, n_want, matched, culled = fuse_window(
+        rows, start, m.count, pred, vmap_c, nmap_c, rgb_c, pose, intr, time,
+        sensor=sensor, weight_mult=weight_mult, splat_k=splat_k,
+        clean_depth=clean_depth, conf_threshold=conf_threshold,
+        unstable_ttl=unstable_ttl, time_delta=time_delta,
+        cluster_id=cluster_id,
+    )
+    data, new_count, n_new, dropped = place_updates(
+        m.data, m.count, blk, start, packed, n_want
+    )
     m2 = sm.SurfelMap(data=data, count=new_count)
     stats = FuseStats(
-        matched=jnp.sum(matched.astype(jnp.int32)),
-        added=n_new,
-        culled=culled,
-        dropped=n_want - n_new,
+        matched=matched, added=n_new, culled=culled, dropped=dropped
     )
     return m2, stats
 

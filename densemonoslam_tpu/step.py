@@ -289,37 +289,50 @@ def make_step(
             | (state.model_age + 1 >= cfg.model_max_age)
         )
 
-        def render_branch(operand):
-            data, count = operand
+        # The full-capacity map tensor must never be an OUTPUT of a lax.cond:
+        # a conditional that returns the map forces XLA to materialise
+        # full-buffer copies that scale with capacity (measured: 2x frame
+        # time at the reference's 32.5M-surfel capacity).  So the branches
+        # exchange only window-sized blocks; the map itself flows through
+        # plain dynamic slice/update ops below, which alias in place.
+        N_cap = state.map_data.shape[0] - 1  # shape-derived, not cfg: callers
+        # may size the state tensor independently (collab/dryrun harnesses)
+        win_n = win if (win > 0 and win < N_cap) else N_cap
+        data, count = state.map_data, state.map_count
+        win_start = splat.active_window_start(count, N_cap, win_n)
+        rows_in = jax.lax.dynamic_slice(
+            data, (win_start, 0), (win_n, sm.COLS)
+        )
+        HW = height * width
+        S_pack = min(HW, N_cap)
+
+        def render_branch(rows_op):
             pred = splat.render(
                 data, count, new_pose, intr, width, height, t_now,
                 time_delta=cfg.time_delta, mode=splat.MODE_ACTIVE, window=win,
             )
 
-            def fuse_br(op2):
-                d2, c2 = op2
-                m = sm.SurfelMap(data=d2, count=c2)
-                m, fstats = fusion.fuse_with_pred(
-                    m, pred, vmap_f, nmap_f, rgb.astype(jnp.float32),
-                    new_pose, intr, time=t_now, sensor=sensor,
-                    weight_mult=weight_mult, window=win,
+            def fuse_br(rows2):
+                blk, packed, n_want, matched, culled = fusion.fuse_window(
+                    rows2, win_start, count, pred, vmap_f, nmap_f,
+                    rgb.astype(jnp.float32), new_pose, intr, time=t_now,
+                    sensor=sensor, weight_mult=weight_mult,
                     clean_depth=depth_m,  # inline copy_unstable cull
                     conf_threshold=cfg.confidence_threshold,
                     time_delta=cfg.time_delta,
                     cluster_id=cluster_id,
                 )
+                return blk, packed[:S_pack], n_want, matched, culled
+
+            def skip_br(rows2):
+                zero = jnp.array(0, jnp.int32)
                 return (
-                    m.data, m.count, fstats.matched, fstats.added,
-                    fstats.culled, fstats.dropped,
+                    rows2, jnp.zeros((S_pack, sm.COLS), jnp.float32),
+                    zero, zero, zero,
                 )
 
-            def skip_br(op2):
-                d2, c2 = op2
-                zero = jnp.array(0, jnp.int32)
-                return d2, c2, zero, zero, zero, zero
-
-            data, count, matched, added, culled, dropped = jax.lax.cond(
-                do_fuse, fuse_br, skip_br, (data, count)
+            blk, packed, n_want, matched, culled = jax.lax.cond(
+                do_fuse, fuse_br, skip_br, rows_op
             )
             # store the refreshed prediction.  When fused, compositing with
             # the live frame approximates the post-fuse map render: matched
@@ -337,25 +350,25 @@ def make_step(
             pn = jnp.where(do_fuse, comp.nmap, pred.nmap)
             pd = jnp.where(do_fuse, comp.depth, pred.depth)
             return (
-                data, count, matched, added, culled, dropped, pi, pv, pn, pd,
+                blk, packed, n_want, matched, culled, pi, pv, pn, pd,
                 new_pose, jnp.array(0, jnp.int32),
             )
 
-        def keep_branch(operand):
-            data, count = operand
+        def keep_branch(rows_op):
             zero = jnp.array(0, jnp.int32)
             return (
-                data, count, zero, zero, zero, zero, state.pred_intensity,
+                rows_op, jnp.zeros((S_pack, sm.COLS), jnp.float32),
+                zero, zero, zero, state.pred_intensity,
                 state.pred_vmap, state.pred_nmap, state.pred_depth,
                 state.model_pose, state.model_age + 1,
             )
 
         (
-            data, count, matched, added, culled, dropped, pred_int, pred_v,
+            blk, packed, n_want, matched, culled, pred_int, pred_v,
             pred_n, pred_d, model_pose, model_age,
-        ) = jax.lax.cond(
-            need_render, render_branch, keep_branch,
-            (state.map_data, state.map_count),
+        ) = jax.lax.cond(need_render, render_branch, keep_branch, rows_in)
+        data, count, added, dropped = fusion.place_updates(
+            data, count, blk, win_start, packed, n_want
         )
         model_rel = jnp.where(
             need_render, jnp.eye(4, dtype=jnp.float32), d_pose
