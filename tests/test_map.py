@@ -328,3 +328,30 @@ def test_packed_zbuffer_close_to_exact(seq):
     inv_step = 20.0 / ((1 << (31 - 15)) - 1)
     tol = np.maximum(de * de * inv_step + 5e-3, 5e-3)
     assert (np.abs(de - dp) <= tol).mean() > 0.995
+
+
+def test_fusion_capacity_invariance(seq):
+    """Per-frame results must not depend on map capacity while count fits:
+    the window core + placement split (fuse_window/place_updates) keeps the
+    full-capacity tensor out of the conditionals, so fusing the same frames
+    into a small and a large map must produce identical live rows."""
+    from densemonoslam_tpu.ops import geometry
+
+    intr = seq.camera.intrinsics
+    outs = []
+    for cap in (1 << 20, 1 << 21):
+        m = sm.empty_map(cap)
+        for i in range(3):
+            rgb, depth = seq.frame(i)
+            d = jnp.asarray(depth, jnp.float32)
+            vmap = geometry.backproject(d, intr)
+            nmap = geometry.normal_map(vmap)
+            pose = jnp.asarray(seq.gt_pose(i).astype(np.float32))
+            m, st = fusion.fuse(
+                m, vmap, nmap, jnp.asarray(rgb, jnp.float32), pose, intr,
+                time=i,
+            )
+        outs.append((int(m.count), np.asarray(m.data[: int(m.count)])))
+    (c_small, rows_small), (c_big, rows_big) = outs
+    assert c_small == c_big
+    np.testing.assert_array_equal(rows_small, rows_big)
