@@ -230,11 +230,15 @@ def _gn_level(
     v_c, n_c = frame.vmap[level], frame.nmap[level]
     pack_m = model.pack[level]
     intr_l = intr.scaled(level)
-    if level == 0 and row_stride > 1:
-        # finest level: subsample the residual rows (77k constraints still
-        # over-determine 6 DoF by ~4 orders of magnitude); the model is
-        # still sampled at full resolution, only the row count shrinks —
-        # this is the single biggest per-frame cost lever on TPU
+    # subsample the residual rows (77k constraints still over-determine
+    # 6 DoF by ~4 orders of magnitude); the model is still sampled at full
+    # level resolution, only the row count shrinks — the per-GN-iteration
+    # cost is the model gather, which scales with rows fetched, so this is
+    # the single biggest per-frame cost lever on TPU.  Applied at EVERY
+    # level that keeps a healthy row count (an unstrided level 1 costs
+    # exactly as much per iteration as a stride-2 level 0), with a floor so
+    # coarse levels keep enough constraints for a stable 6x6 system.
+    if row_stride > 1 and i_c.size // (row_stride * row_stride) >= 4096:
         i_c = warp.decimate(i_c, row_stride)
         v_c = warp.decimate(v_c, row_stride)
         n_c = warp.decimate(n_c, row_stride)
