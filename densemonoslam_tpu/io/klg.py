@@ -19,9 +19,24 @@ from densemonoslam_tpu.io import native
 
 
 class KlgReader:
-    """LogReader-protocol reader for .klg files."""
+    """LogReader-protocol reader for .klg files.
 
-    def __init__(self, path: str, width: int, height: int, depth_factor: float = 1000.0):
+    With ``prefetch=True`` (the default when the native library is built),
+    sequential reads are served by the C++ async prefetch executor
+    (`native/framecodec.cpp` `dms_prefetch_*`): a worker pool decodes frames
+    ahead of the consumer — the reference's LCM-receive-thread +
+    CircularBuffer pattern for log replay.  Random access (`rewind`/
+    `fast_forward`) transparently re-syncs the stream.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        width: int,
+        height: int,
+        depth_factor: float = 1000.0,
+        prefetch: bool = True,
+    ):
         self.path = path
         self.width = width
         self.height = height
@@ -30,6 +45,9 @@ class KlgReader:
             native.klg_scan(path)
         )
         self._i = 0
+        self._want_prefetch = prefetch and native.HAVE_PREFETCH
+        self._pf = None  # lazily opened; tracks its own position via _pf_i
+        self._pf_i = 0
 
     def __len__(self) -> int:
         return len(self.offsets)
@@ -39,13 +57,50 @@ class KlgReader:
 
     def rewind(self) -> None:
         self._i = 0
+        self._drop_prefetcher()
 
     def fast_forward(self, frame: int) -> None:
         self._i = min(frame, len(self.offsets))
 
+    def close(self) -> None:
+        self._drop_prefetcher()
+
+    def _drop_prefetcher(self) -> None:
+        if self._pf is not None:
+            self._pf.close()
+            self._pf = None
+        self._pf_i = 0
+
+    def _next_prefetched(self, i: int):
+        if self._pf is None:
+            self._pf = native.KlgPrefetcher(self.path, self.width, self.height)
+            self._pf_i = 0
+        if self._pf_i > i:  # stream is past the wanted frame: restart
+            self._drop_prefetcher()
+            return self._next_prefetched(i)
+        out = None
+        while self._pf_i <= i:  # drain skipped frames (fast_forward)
+            out = self._pf.next()
+            self._pf_i += 1
+            if out is None:
+                return None
+        return out
+
     def get_next(self):
         i = self._i
         self._i += 1
+        if self._want_prefetch:
+            try:
+                out = self._next_prefetched(i)
+            except IOError:
+                out = None  # decode error: fall back to the direct path
+            if out is not None:
+                _, depth, rgb, ts = out
+                return (
+                    rgb,
+                    depth.astype(np.float32) / self.depth_factor,
+                    float(ts),
+                )
         depth, rgb = native.klg_read_frame(
             self.path,
             int(self.offsets[i]),

@@ -32,8 +32,33 @@ if os.path.exists(_LIB_PATH):
         _lib.dms_jpeg_encode.restype = ctypes.c_long
         _lib.dms_klg_scan.restype = ctypes.c_long
         _lib.dms_klg_read_frame.restype = ctypes.c_int
+        # async prefetch executor (newer library builds; probe defensively so
+        # a stale libframecodec.so keeps the codec entry points working)
+        try:
+            _lib.dms_prefetch_open.restype = ctypes.c_void_p
+            _lib.dms_prefetch_open.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int,
+            ]
+            _lib.dms_prefetch_next.restype = ctypes.c_long
+            _lib.dms_prefetch_next.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            _lib.dms_prefetch_frames.restype = ctypes.c_long
+            _lib.dms_prefetch_frames.argtypes = [ctypes.c_void_p]
+            _lib.dms_prefetch_close.restype = None
+            _lib.dms_prefetch_close.argtypes = [ctypes.c_void_p]
+            _HAVE_PREFETCH = True
+        except AttributeError:
+            _HAVE_PREFETCH = False
     except OSError:
         _lib = None
+        _HAVE_PREFETCH = False
+else:
+    _HAVE_PREFETCH = False
 
 HAVE_NATIVE = _lib is not None
 
@@ -184,3 +209,81 @@ def klg_read_frame(
     elif image_size > 0:
         r = jpeg_decode(ibuf, width, height)
     return d, r
+
+
+HAVE_PREFETCH = HAVE_NATIVE and _HAVE_PREFETCH
+
+
+class KlgPrefetcher:
+    """Async prefetching .klg executor (native worker pool).
+
+    The reference drains frames from a background LCM receive thread through
+    a `CircularBuffer` (`Tools/networking/LcmReceiver.cpp:14-34`,
+    `Tools/CircularBuffer.h`); this is the log-replay equivalent: C++ worker
+    threads decode zlib depth + JPEG RGB ahead of the consumer into a bounded
+    ring, overlapping host decode with device compute.  Frames are delivered
+    strictly in order.  Use as a context manager or call `close()`.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        width: int,
+        height: int,
+        n_threads: int = 3,
+        ring_slots: int = 8,
+    ):
+        if not HAVE_PREFETCH:
+            raise RuntimeError(
+                "native prefetcher unavailable (run `make -C native`)"
+            )
+        self.width = width
+        self.height = height
+        self._h = _lib.dms_prefetch_open(
+            path.encode(), width, height, n_threads, ring_slots
+        )
+        if not self._h:
+            raise IOError(f"cannot open klg log: {path}")
+        self.n_frames = int(_lib.dms_prefetch_frames(self._h))
+
+    def __len__(self) -> int:
+        return self.n_frames
+
+    def next(self):
+        """Blocking next frame -> (index, depth u16 [H,W], rgb u8 [H,W,3],
+        timestamp) or None at end of log.  Raises on decode errors."""
+        if self._h is None:
+            return None
+        depth = np.empty(self.height * self.width * 2, np.uint8)
+        rgb = np.empty(self.height * self.width * 3, np.uint8)
+        ts = ctypes.c_int64()
+        idx = _lib.dms_prefetch_next(
+            self._h, _buf(depth), _buf(rgb), ctypes.byref(ts)
+        )
+        if idx == -1:
+            return None
+        if idx < 0:
+            raise IOError(f"klg prefetch decode error at stream position {idx}")
+        return (
+            int(idx),
+            depth.view(np.uint16).reshape(self.height, self.width),
+            rgb.reshape(self.height, self.width, 3),
+            int(ts.value),
+        )
+
+    def close(self) -> None:
+        if self._h is not None:
+            _lib.dms_prefetch_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # pragma: no cover - GC safety net
+        try:
+            self.close()
+        except Exception:
+            pass

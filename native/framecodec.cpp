@@ -17,13 +17,17 @@
 // the library is absent.
 
 #include <arpa/inet.h>
+#include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <netinet/in.h>
 #include <string>
 #include <sys/socket.h>
 #include <sys/time.h>
+#include <thread>
 #include <unistd.h>
 #include <vector>
 #include <zlib.h>
@@ -294,5 +298,190 @@ long dms_udp_recv_chunk(int sock, uint8_t *out, long cap, int timeout_ms,
 }
 
 void dms_close(int sock) { close(sock); }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Async prefetching log executor.
+//
+// The reference feeds frames through a background LCM receive thread into a
+// CircularBuffer that the SLAM loop drains (`Tools/networking/LcmReceiver.cpp:
+// 14-34`, `Tools/CircularBuffer.h`, JPEG decode in `Tools/JPEGLoader.h`).
+// This is the equivalent native runtime component for log replay: a worker
+// pool decodes .klg records (zlib depth + JPEG RGB) ahead of the consumer
+// into a bounded ring of slots, so the Python SLAM loop overlaps host decode
+// with device compute instead of paying it serially per frame.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct PrefetchSlot {
+  std::vector<uint8_t> depth;  // w*h*2
+  std::vector<uint8_t> rgb;    // w*h*3
+  int64_t timestamp = 0;
+  int status = 0;  // 0 empty, 1 ready, -1 decode error
+};
+
+struct Prefetcher {
+  std::string path;
+  int width = 0, height = 0;
+  long n_frames = 0;
+  std::vector<long> offsets;
+  std::vector<int64_t> timestamps;
+  std::vector<int32_t> depth_sizes, image_sizes;
+
+  std::vector<PrefetchSlot> ring;
+  long next_claim = 0;   // next frame index a worker may take
+  long next_serve = 0;   // next frame index the consumer wants
+  bool stopping = false;
+  std::mutex mu;
+  std::condition_variable cv_ready;   // consumer waits for slot ready
+  std::condition_variable cv_space;   // workers wait for ring space
+  std::vector<std::thread> workers;
+
+  void worker() {
+    FILE *f = fopen(path.c_str(), "rb");
+    if (!f) return;
+    std::vector<uint8_t> dbuf, ibuf;
+    for (;;) {
+      long idx;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_space.wait(lk, [&] {
+          return stopping ||
+                 (next_claim < n_frames &&
+                  next_claim < next_serve + (long)ring.size());
+        });
+        if (stopping || next_claim >= n_frames) break;
+        idx = next_claim++;
+      }
+      PrefetchSlot &slot = ring[idx % ring.size()];
+      int32_t dsize = depth_sizes[idx], isize = image_sizes[idx];
+      dbuf.resize(dsize > 0 ? dsize : 0);
+      ibuf.resize(isize > 0 ? isize : 0);
+      int st = 1;
+      if (fseek(f, offsets[idx] + 16, SEEK_SET) != 0) st = -1;
+      if (st == 1 && dsize > 0 &&
+          fread(dbuf.data(), 1, dsize, f) != (size_t)dsize)
+        st = -1;
+      if (st == 1 && isize > 0 &&
+          fread(ibuf.data(), 1, isize, f) != (size_t)isize)
+        st = -1;
+      long depth_cap = (long)width * height * 2;
+      long rgb_cap = (long)width * height * 3;
+      // slots are reused: blank payloads a record does not carry, so a
+      // depth-only frame cannot leak the previous occupant's RGB
+      if (dsize <= 0) memset(slot.depth.data(), 0, depth_cap);
+      if (isize <= 0) memset(slot.rgb.data(), 0, rgb_cap);
+      if (st == 1 && dsize > 0) {
+        if (dsize == depth_cap) {
+          memcpy(slot.depth.data(), dbuf.data(), dsize);
+        } else if (dms_zlib_decompress(dbuf.data(), dsize, slot.depth.data(),
+                                       depth_cap) < 0) {
+          st = -1;
+        }
+      }
+      if (st == 1 && isize > 0) {
+        if (isize == rgb_cap) {
+          memcpy(slot.rgb.data(), ibuf.data(), isize);
+        } else {
+          int w, h;
+          if (dms_jpeg_decode(ibuf.data(), isize, slot.rgb.data(), width,
+                              height, &w, &h) != 0)
+            st = -1;
+        }
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        slot.timestamp = timestamps[idx];
+        slot.status = st;
+        cv_ready.notify_all();
+      }
+    }
+    fclose(f);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Open a .klg and start `n_threads` decode workers filling a `ring_slots`
+// ring.  Returns an opaque handle (NULL on error).
+void *dms_prefetch_open(const char *path, int width, int height,
+                        int n_threads, int ring_slots) {
+  auto *p = new Prefetcher();
+  p->path = path;
+  p->width = width;
+  p->height = height;
+  const long MAXF = 1 << 20;
+  p->offsets.resize(MAXF);
+  p->timestamps.resize(MAXF);
+  p->depth_sizes.resize(MAXF);
+  p->image_sizes.resize(MAXF);
+  long n = dms_klg_scan(path, p->offsets.data(), p->timestamps.data(),
+                        p->depth_sizes.data(), p->image_sizes.data(), MAXF);
+  if (n < 0) {
+    delete p;
+    return nullptr;
+  }
+  p->n_frames = n;
+  p->offsets.resize(n);
+  p->timestamps.resize(n);
+  p->depth_sizes.resize(n);
+  p->image_sizes.resize(n);
+  if (ring_slots < 2) ring_slots = 2;
+  if (n_threads < 1) n_threads = 1;
+  p->ring.resize(ring_slots);
+  for (auto &s : p->ring) {
+    s.depth.assign((size_t)width * height * 2, 0);
+    s.rgb.assign((size_t)width * height * 3, 0);
+  }
+  for (int i = 0; i < n_threads; i++)
+    p->workers.emplace_back(&Prefetcher::worker, p);
+  return p;
+}
+
+long dms_prefetch_frames(void *h) {
+  return h ? ((Prefetcher *)h)->n_frames : -1;
+}
+
+// Blocking in-order next frame.  Copies depth (u16 w*h) and rgb (u8 w*h*3)
+// into the caller buffers; returns the frame index, -1 at end of log, -2 on
+// decode error (the stream still advances).
+long dms_prefetch_next(void *h, uint8_t *depth_out, uint8_t *rgb_out,
+                       int64_t *timestamp) {
+  auto *p = (Prefetcher *)h;
+  long idx;
+  {
+    std::unique_lock<std::mutex> lk(p->mu);
+    if (p->next_serve >= p->n_frames) return -1;
+    idx = p->next_serve;
+    PrefetchSlot &slot = p->ring[idx % p->ring.size()];
+    p->cv_ready.wait(lk, [&] { return slot.status != 0; });
+    int st = slot.status;
+    if (st == 1) {
+      memcpy(depth_out, slot.depth.data(), slot.depth.size());
+      memcpy(rgb_out, slot.rgb.data(), slot.rgb.size());
+      *timestamp = slot.timestamp;
+    }
+    slot.status = 0;
+    p->next_serve++;
+    p->cv_space.notify_all();
+    if (st != 1) return -2;
+  }
+  return idx;
+}
+
+void dms_prefetch_close(void *h) {
+  auto *p = (Prefetcher *)h;
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->stopping = true;
+    p->cv_space.notify_all();
+  }
+  for (auto &t : p->workers) t.join();
+  delete p;
+}
 
 }  // extern "C"
