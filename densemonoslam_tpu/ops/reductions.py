@@ -488,6 +488,88 @@ def joint_rows_packed(
     return M_icp, M_rgb
 
 
+def joint_rows_frozen(
+    v_c: jnp.ndarray,  # [P,3] current-frame vertices (camera frame)
+    n_c_raw: jnp.ndarray,  # [P,3]
+    i_c: jnp.ndarray,  # [P]
+    smp: ModelSample,  # model sampled ONCE at uv0 = project(A0 v_c)
+    uv0: jnp.ndarray,  # [P,2] the sample positions
+    A: jnp.ndarray,
+    intr: CameraIntrinsics,
+    dist_thresh: float = ICP_DIST_THRESH,
+    angle_thresh: float = ICP_ANGLE_SIN_THRESH,
+    min_grad: float = RGB_MIN_GRAD,
+    max_residual: float = 255.0,
+    occlusion_thresh: float = 0.15,
+    drift_px: float = 2.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ICP+RGB rows against a FROZEN model sample (Lucas-Kanade style).
+
+    The model gather is the dominant per-GN-iteration cost on TPU (~4.5 ns per
+    row fetched vs ~0.05 ms for all the row math), so within one pyramid level
+    the model is sampled once at the warm-start projection and subsequent
+    iterations update the rows analytically:
+
+    - ICP (exact under frozen association): the associated pair (v_m, n_m) is
+      fixed; the residual ``r = n_m . (A v_c - v_m)`` and Jacobian follow the
+      *current* A.  Classic fixed-correspondence point-to-plane ICP — the
+      reference re-associates every iteration (`reduce.cu:259-343`), but after
+      the coarse levels the association changes by <1 px between iterations.
+    - RGB (first-order): ``r(A) = i_m(uv0) + g(uv0) . (uv(A) - uv0) - i_c``,
+      the forward-additive Lucas-Kanade linearisation around the sample
+      position, with the same projection-chain Jacobian as `rgb_rows`.
+
+    Rows whose reprojection drifts more than `drift_px` from the sample
+    position are gated out (the linearisation stops being trustworthy).
+    """
+    P = v_c.shape[0]
+    valid_c = v_c[:, 2] > 0
+    p = se3.transform_points(A, v_c)
+    n_c = se3.rotate_vectors(A, n_c_raw)
+    u, v, z = geometry.project(p, intr)
+    inb = smp.inb & (z > 0)
+    du = u - uv0[:, 0]
+    dv = v - uv0[:, 1]
+    near = (jnp.abs(du) <= drift_px) & (jnp.abs(dv) <= drift_px)
+
+    # --- ICP rows (exact, frozen association) ---
+    valid_m = smp.v_m[:, 2] > 0
+    diff = p - smp.v_m
+    dist = jnp.linalg.norm(diff, axis=-1)
+    sin_angle = jnp.linalg.norm(jnp.cross(n_c, smp.n_m), axis=-1)
+    has_n = jnp.linalg.norm(n_c_raw, axis=-1) > 0.5
+    mask_icp = (
+        valid_c & inb & near & valid_m & has_n
+        & (dist < dist_thresh) & (sin_angle < angle_thresh)
+    )
+    r_icp = jnp.sum(smp.n_m * diff, axis=-1)
+    Jw_icp = jnp.cross(p, smp.n_m)
+    mi = mask_icp.astype(jnp.float32)[:, None]
+    M_icp = jnp.concatenate(
+        [Jw_icp, smp.n_m, r_icp[:, None], jnp.ones_like(r_icp)[:, None]],
+        axis=-1,
+    ) * mi
+
+    # --- RGB rows (Lucas-Kanade around uv0) ---
+    i_warp = smp.i_m + smp.gx * du + smp.gy * dv
+    r_rgb = i_warp - i_c
+    gmag2 = smp.gx * smp.gx + smp.gy * smp.gy
+    mask_rgb = (
+        valid_c & inb & near
+        & (gmag2 > min_grad * min_grad)
+        & (jnp.abs(r_rgb) < max_residual)
+        & (smp.z_m > 0)
+        & (jnp.abs(z - smp.z_m) < occlusion_thresh)
+    )
+    g3 = _image_grad_rows(p, smp.gx, smp.gy, intr)
+    Jw_rgb = jnp.cross(p, g3)
+    mr = mask_rgb.astype(jnp.float32)[:, None]
+    M_rgb = jnp.concatenate(
+        [Jw_rgb, g3, r_rgb[:, None], jnp.ones_like(r_rgb)[:, None]], axis=-1
+    ) * mr
+    return M_icp, M_rgb
+
+
 def so3_rows_packed(
     intensity_c: jnp.ndarray,
     model_pack: jnp.ndarray,

@@ -181,12 +181,17 @@ def _so3_prealign(
     i_c = frame.intensity[lv]
     pack_m = model.pack[lv]
 
-    def cond(carry):
-        i, _Rb, _eb, _R, done = carry
-        return (i < SO3_ITERATIONS) & ~done
-
-    def body(carry):
-        i, R_best, err_best, R, _done = carry
+    # UNROLLED with a frozen carry instead of lax.while_loop: device loops
+    # (while AND fori) cost ~1.2 ms of per-iteration overhead on TPU-via-
+    # tunnel (measured: 10 identical GN iterations = 19.4 ms looped vs 7.0 ms
+    # unrolled), so every tracking loop is unrolled to its static budget and
+    # "early exit" freezes the carry with `where` — same math, same result.
+    eye = jnp.eye(3, dtype=jnp.float32) if R0 is None else R0
+    R_best = eye
+    err_best = jnp.array(jnp.inf, jnp.float32)
+    R = eye
+    done = jnp.asarray(False)
+    for _ in range(SO3_ITERATIONS):
         M = reductions.so3_rows_packed(i_c, pack_m, R, intr_top)
         G = reductions.gram(M)
         JtJ3, Jtr3 = G[:3, :3], G[:3, 3]
@@ -196,20 +201,15 @@ def _so3_prealign(
         ok = (G[7, 7] > 50) & jnp.all(jnp.isfinite(dw))
         R_new = jnp.where(ok, se3.so3_exp(dw) @ R, R)
         improved = err < err_best
-        R_best = jnp.where(improved, R, R_best)
-        err_best = jnp.minimum(err, err_best)
+        R_best_new = jnp.where(improved, R, R_best)
+        err_best_new = jnp.minimum(err, err_best)
         # diverged: fall back to the best-so-far rotation
-        R_next = jnp.where(improved, R_new, R_best)
-        # converged-update early exit (same rationale as `_gn_level`)
-        done = ~ok | (jnp.sum(dw * dw) < 1e-10)
-        return i + 1, R_best, err_best, R_next, done
-
-    eye = jnp.eye(3, dtype=jnp.float32) if R0 is None else R0
-    _, R_best, _, R, _ = jax.lax.while_loop(
-        cond, body,
-        (jnp.array(0, jnp.int32), eye, jnp.array(jnp.inf, jnp.float32), eye,
-         jnp.asarray(False)),
-    )
+        R_next = jnp.where(improved, R_new, R_best_new)
+        step_done = ~ok | (jnp.sum(dw * dw) < 1e-10)
+        R_best = jnp.where(done, R_best, R_best_new)
+        err_best = jnp.where(done, err_best, err_best_new)
+        R = jnp.where(done, R, R_next)
+        done = done | step_done
     return R
 
 
@@ -243,20 +243,33 @@ def _gn_level(
         v_c = warp.decimate(v_c, row_stride)
         n_c = warp.decimate(n_c, row_stride)
 
-    def cond(carry):
-        i, _A, _stats, done = carry
-        return (i < iterations) & ~done
+    # UNROLLED to the static iteration budget (see `_so3_prealign`): device
+    # loop primitives cost ~1.2 ms/iteration of overhead on this platform,
+    # dwarfing the ~0.25 ms of real gather+Gram work per iteration.  The
+    # early-exit of the old while_loop ("converged twist stops iterating")
+    # becomes a frozen carry: once `done`, later iterations' results are
+    # discarded via `where` — bit-identical outcome, straight-line HLO.
+    init_stats = (
+        jnp.array(jnp.inf, jnp.float32),
+        jnp.array(0.0, jnp.float32),
+        jnp.array(jnp.inf, jnp.float32),
+        jnp.array(0.0, jnp.float32),
+        jnp.eye(6, dtype=jnp.float32),
+    )
+    bilinear = not (nearest_finest and level <= 1)
 
-    def body(carry):
-        i, A, _stats, _done = carry
+    def gn_iter(A):
         M_icp, M_rgb = reductions.joint_rows_packed(
             v_c, n_c, i_c, pack_m, A, intr_l,
             # nearest sampling on the two finest levels: 1 gather instead
             # of 4 — the dominant per-frame cost on TPU (gather cost ~ rows
             # fetched; subpixel blending matters least where pixels are
             # densest; the coarsest levels stay bilinear for convergence)
-            bilinear=not (nearest_finest and level <= 1),
+            bilinear=bilinear,
         )
+        return _solve_iter(M_icp, M_rgb)
+
+    def _solve_iter(M_icp, M_rgb):
         G_icp, G_rgb, JtJ, Jtr = reductions.combined_system(
             M_icp, M_rgb, icp_weight=0.0 if rgb_only else icp_weight,
             rgb_scale=RGB_UNIT_SCALE,
@@ -266,35 +279,80 @@ def _gn_level(
             jnp.all(jnp.isfinite(xi))
             & ((G_icp.inliers > 10) | (G_rgb.inliers > 10))
         )
-        A_new = jnp.where(ok, se3.apply_update(A, xi), A)
-        stats = (
+        stats_new = (
             G_icp.residual_sq / jnp.maximum(G_icp.inliers, 1.0),
             G_icp.inliers,
             G_rgb.residual_sq / jnp.maximum(G_rgb.inliers, 1.0),
             G_rgb.inliers,
             JtJ,
         )
-        # early exit once the update is numerically converged (<0.01 mm /
-        # <2e-3 mdeg twist): the budgets are worst-case (fast motion); slow
-        # motion converges in 2-3 iterations and the remaining ones only
-        # re-pay the gather+Gram cost to add zeros.  The reference always
-        # runs its full budget — a GPU kernel launch is cheap; a TPU while
-        # iteration is the dominant per-frame cost, so stopping matters.
-        done = ~ok | (jnp.sum(xi * xi) < 1e-9)
-        return i + 1, A_new, stats, done
+        return xi, ok, stats_new
 
-    init_stats = (
-        jnp.array(jnp.inf, jnp.float32),
-        jnp.array(0.0, jnp.float32),
-        jnp.array(jnp.inf, jnp.float32),
-        jnp.array(0.0, jnp.float32),
-        jnp.eye(6, dtype=jnp.float32),
-    )
-    _, A_out, stats_out, _ = jax.lax.while_loop(
-        cond, body, (jnp.array(0, jnp.int32), A0, init_stats,
-                     jnp.asarray(iterations == 0)),
-    )
-    return A_out, stats_out
+    A = A0
+    stats = init_stats
+    done = jnp.asarray(iterations == 0)
+    # freeze association where the gather is hot AND a coarser level warmed
+    # the estimate up first (`nearest_finest` is already False in single-level
+    # fast mode, where the warm start may sit several pixels off and the
+    # frozen sample's drift gate would starve the solve)
+    frozen = nearest_finest and i_c.size >= 32768
+    if iterations <= 12 and frozen:
+        # ONE model gather per level (at the warm-start projection), then
+        # Lucas-Kanade iterations against the frozen sample — the gather is
+        # ~0.35 ms at the finest level while the row math is ~0.05 ms, so
+        # re-associating every iteration (the reference's behaviour) pays the
+        # gather 4x for sub-pixel association changes.  Coarse levels (cheap
+        # gathers) keep exact per-iteration re-association below.
+        P = i_c.size
+        v_flat = v_c.reshape(P, 3)
+        n_flat = n_c.reshape(P, 3)
+        i_flat = i_c.reshape(P)
+        p0 = se3.transform_points(A, v_flat)
+        u0, v0, _z0 = geometry.project(p0, intr_l)
+        smp = reductions.sample_model(pack_m, u0, v0, bilinear=bilinear)
+        uv0 = jnp.stack([u0, v0], axis=-1)
+        for _ in range(iterations):
+            M_icp, M_rgb = reductions.joint_rows_frozen(
+                v_flat, n_flat, i_flat, smp, uv0, A, intr_l
+            )
+            xi, ok, stats_new = _solve_iter(M_icp, M_rgb)
+            A_new = jnp.where(ok, se3.apply_update(A, xi), A)
+            step_done = ~ok | (jnp.sum(xi * xi) < 1e-9)
+            A = jnp.where(done, A, A_new)
+            stats = jax.tree_util.tree_map(
+                lambda old, new: jnp.where(done, old, new), stats, stats_new
+            )
+            done = done | step_done
+    elif iterations <= 12:
+        for _ in range(iterations):
+            xi, ok, stats_new = gn_iter(A)
+            A_new = jnp.where(ok, se3.apply_update(A, xi), A)
+            step_done = ~ok | (jnp.sum(xi * xi) < 1e-9)
+            A = jnp.where(done, A, A_new)
+            stats = jax.tree_util.tree_map(
+                lambda old, new: jnp.where(done, old, new), stats, stats_new
+            )
+            done = done | step_done
+    else:
+        # large budgets (inter-map {50,50,50}) stay a while_loop: unrolling
+        # them would multiply compile time for a path that runs rarely (loop
+        # closures / relocalisation), where the per-iteration loop overhead
+        # does not bound frame rate.
+        def cond(carry):
+            i, _A, _stats, d = carry
+            return (i < iterations) & ~d
+
+        def body(carry):
+            i, A, _stats, _d = carry
+            xi, ok, stats_new = gn_iter(A)
+            A_new = jnp.where(ok, se3.apply_update(A, xi), A)
+            step_done = ~ok | (jnp.sum(xi * xi) < 1e-9)
+            return i + 1, A_new, stats_new, step_done
+
+        _, A, stats, _ = jax.lax.while_loop(
+            cond, body, (jnp.array(0, jnp.int32), A, stats, done)
+        )
+    return A, stats
 
 
 @functools.partial(
