@@ -166,12 +166,19 @@ class EngineConfig:
     track_row_stride: int = 1  # finest-level residual-row subsampling (2 at
     # VGA+ quarters the dominant per-frame gather cost at negligible ATE cost)
     # stored-tracking-model refresh gates: the map is re-rendered (and the
-    # fill-in tracking model rebuilt) when fusing, when the camera moved this
-    # far from the model's render pose, or when the model is this many frames
-    # old — between refreshes, frames track against the stored model with a
-    # warm-started GN, skipping the per-frame map render entirely
-    model_trans_delta: float = 0.08  # metres
-    model_rot_delta: float = 0.06  # radians (~3.4 deg)
+    # fill-in tracking model rebuilt) when fusing, when tracking SUPPORT
+    # (ICP inliers / valid frame pixels) decays below `model_min_support`,
+    # when the camera moved this far from the model's render pose, or when
+    # the model is this many frames old — between refreshes, frames track
+    # against the stored model with a warm-started GN, skipping the
+    # per-frame map render (and its scatter-min z-buffer, the single most
+    # expensive device op) entirely.  Support is the primary gate: it
+    # measures exactly the quantity that degrades as the view slides off
+    # the stored prediction, so the motion thresholds are a coarse backstop
+    # for teleports rather than the steady-state trigger.
+    model_min_support: float = 0.7  # ICP inlier fraction of valid pixels
+    model_trans_delta: float = 0.25  # metres
+    model_rot_delta: float = 0.2  # radians (~11 deg)
     model_max_age: int = 16  # frames
 
     def iterations_for_levels(self) -> Tuple[int, ...]:

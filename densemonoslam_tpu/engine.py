@@ -39,9 +39,17 @@ _HIST_INITIAL_CAP = 1024
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
-def _hist_append(hist, times, pose, idx, t):
-    """Record one pose in the device pose history (no host sync)."""
-    return hist.at[idx].set(pose), times.at[idx].set(t)
+def _hist_append(hist, times, poses, idxs, ts):
+    """Record a BATCH of poses in the device pose history.
+
+    One scatter per flush instead of one tiny dispatch per frame: each
+    per-frame device call costs a fixed launch gap that serialises with the
+    SLAM step (measured ~1.4 ms/frame of device IDLE), so appends accumulate
+    host-side and land in one chunked scatter at read time / cadence."""
+    return hist.at[idxs].set(poses), times.at[idxs].set(ts)
+
+
+_HIST_FLUSH_CHUNK = 64
 
 
 @dataclasses.dataclass
@@ -56,13 +64,15 @@ class Frontend:
     tick: int = 0
     map_name: str = ""
     # device-resident pose history [cap,4,4] + per-pose session ticks [cap]
-    # (reference per-context poseGraph, `Context.h:117-156`): appended per
-    # frame with one tiny device scatter (no host sync) and REWRITTEN through
-    # the deformation graph on every accepted loop closure
+    # (reference per-context poseGraph, `Context.h:117-156`): appends queue
+    # host-side and flush as one chunked device scatter whenever the history
+    # is read (loop closure, export, checkpoint) — zero per-frame dispatches.
+    # REWRITTEN through the deformation graph on every accepted loop closure
     # (`Deformation.cpp:106-124,167` applyGraphToPoses over the whole pose
     # graph) — so exported trajectories reflect closures, not raw odometry.
-    pose_hist: Optional[jnp.ndarray] = None
-    hist_times: Optional[jnp.ndarray] = None
+    _pose_hist_buf: Optional[jnp.ndarray] = None
+    _hist_times_buf: Optional[jnp.ndarray] = None
+    _hist_pending: List = dataclasses.field(default_factory=list)
     ts_log: List[float] = dataclasses.field(default_factory=list)
     stats_log: List[jnp.ndarray] = dataclasses.field(default_factory=list)
     stats: SessionStats = dataclasses.field(default_factory=SessionStats)
@@ -89,23 +99,72 @@ class Frontend:
         arr = np.asarray(self.pose_hist[:n])
         return [(t, arr[i]) for i, t in enumerate(self.ts_log)]
 
-    def record_pose(self, pose: jnp.ndarray, session_tick: int) -> None:
-        """Append one pose to the device history (growing it as needed)."""
+    @property
+    def pose_hist(self) -> Optional[jnp.ndarray]:
+        self._flush_hist()
+        return self._pose_hist_buf
+
+    @pose_hist.setter
+    def pose_hist(self, value: Optional[jnp.ndarray]) -> None:
+        self._hist_pending.clear()
+        self._pose_hist_buf = value
+
+    @property
+    def hist_times(self) -> Optional[jnp.ndarray]:
+        self._flush_hist()
+        return self._hist_times_buf
+
+    @hist_times.setter
+    def hist_times(self, value: Optional[jnp.ndarray]) -> None:
+        self._hist_times_buf = value
+
+    def record_pose(self, stats_row: jnp.ndarray, session_tick: int) -> None:
+        """Queue one pose for the device history (no device dispatch).
+
+        `stats_row` is the step's fresh stats output (the pose rides rows
+        13:29, `step.STAT_POSE0`); a bare [4,4] pose array is also accepted
+        (loop-closure/reloc paths that synthesise poses host-side)."""
         n = len(self.ts_log)  # caller appends ts_log right after
-        if self.pose_hist is None:
-            self.pose_hist = jnp.zeros((_HIST_INITIAL_CAP, 4, 4), jnp.float32)
-            self.hist_times = jnp.zeros((_HIST_INITIAL_CAP,), jnp.float32)
-        if n >= self.pose_hist.shape[0]:
-            self.pose_hist = jnp.concatenate(
-                [self.pose_hist, jnp.zeros_like(self.pose_hist)]
+        self._hist_pending.append((stats_row, n, float(session_tick)))
+
+    def _flush_hist(self) -> None:
+        """Land queued poses in one chunked device scatter per ≤64 entries."""
+        if not self._hist_pending:
+            return
+        pending, self._hist_pending = self._hist_pending, []
+        max_n = max(n for _, n, _ in pending)
+        if self._pose_hist_buf is None:
+            cap = _HIST_INITIAL_CAP
+            while cap <= max_n:
+                cap *= 2
+            self._pose_hist_buf = jnp.zeros((cap, 4, 4), jnp.float32)
+            self._hist_times_buf = jnp.zeros((cap,), jnp.float32)
+        while max_n >= self._pose_hist_buf.shape[0]:
+            self._pose_hist_buf = jnp.concatenate(
+                [self._pose_hist_buf, jnp.zeros_like(self._pose_hist_buf)]
             )
-            self.hist_times = jnp.concatenate(
-                [self.hist_times, jnp.zeros_like(self.hist_times)]
+            self._hist_times_buf = jnp.concatenate(
+                [self._hist_times_buf, jnp.zeros_like(self._hist_times_buf)]
             )
-        self.pose_hist, self.hist_times = _hist_append(
-            self.pose_hist, self.hist_times, pose,
-            jnp.asarray(n, jnp.int32), jnp.asarray(session_tick, jnp.float32),
-        )
+        for i in range(0, len(pending), _HIST_FLUSH_CHUNK):
+            chunk = pending[i : i + _HIST_FLUSH_CHUNK]
+            # pad to the fixed chunk size (jit cache: one shape) by repeating
+            # the last entry — duplicate same-value scatters are harmless
+            while len(chunk) < _HIST_FLUSH_CHUNK:
+                chunk.append(chunk[-1])
+            poses = jnp.stack(
+                [
+                    p[stepmod.STAT_POSE0 :].reshape(4, 4)
+                    if p.ndim == 1
+                    else p
+                    for p, _, _ in chunk
+                ]
+            )
+            idxs = jnp.asarray([n for _, n, _ in chunk], jnp.int32)
+            ts = jnp.asarray([t for _, _, t in chunk], jnp.float32)
+            self._pose_hist_buf, self._hist_times_buf = _hist_append(
+                self._pose_hist_buf, self._hist_times_buf, poses, idxs, ts
+            )
 
     def finalize_stats(self) -> None:
         """Realise accumulated device stats into SessionStats."""
@@ -366,7 +425,7 @@ class Engine:
             jnp.asarray(cluster, jnp.float32),
         )
         be.map_data, be.map_count = fe.state.map_data, fe.state.map_count
-        fe.record_pose(fe.state.pose, self.global_tick)
+        fe.record_pose(stats, self.global_tick)
         self.global_tick += 1
         fe.ts_log.append(timestamp)
         fe.stats_log.append(stats)

@@ -570,6 +570,41 @@ def joint_rows_frozen(
     return M_icp, M_rgb
 
 
+def so3_rows_frozen(
+    d: jnp.ndarray,  # [P,3] unit-plane rays (fixed per level)
+    i_c: jnp.ndarray,  # [P] current intensities
+    smp: ModelSample,  # model sampled ONCE at uv0 = project(R0 d)
+    uv0: jnp.ndarray,  # [P,2] the sample positions
+    R: jnp.ndarray,
+    intr: CameraIntrinsics,
+    max_residual: float = 255.0,
+    drift_px: float = 3.0,
+) -> jnp.ndarray:
+    """SO3 photometric rows against a FROZEN model sample (Lucas-Kanade).
+
+    Same rationale as `joint_rows_frozen`: the model gather dominates the
+    per-iteration cost, and after the first exact iterations the warp moves
+    sub-pixel, so the sample taken at uv0 is linearised forward-additively:
+    ``r(R) = i_m(uv0) + g(uv0) . (uv(R) - uv0) - i_c``.
+    """
+    rd = jnp.sum(R * d[:, None, :], axis=-1)
+    u, v, z = geometry.project(rd, intr)
+    du = u - uv0[:, 0]
+    dv = v - uv0[:, 1]
+    near = (jnp.abs(du) <= drift_px) & (jnp.abs(dv) <= drift_px)
+    i_warp = smp.i_m + smp.gx * du + smp.gy * dv
+    r = i_warp - i_c
+    mask = smp.inb & near & (z > 0) & (jnp.abs(r) < max_residual)
+    g3 = _image_grad_rows(rd, smp.gx, smp.gy, intr)
+    Jw = jnp.cross(rd, g3)
+    m = mask.astype(jnp.float32)[:, None]
+    zeros = jnp.zeros_like(r)[:, None]
+    M = jnp.concatenate(
+        [Jw, r[:, None], zeros, zeros, zeros, jnp.ones_like(r)[:, None]], axis=-1
+    ) * m
+    return M
+
+
 def so3_rows_packed(
     intensity_c: jnp.ndarray,
     model_pack: jnp.ndarray,

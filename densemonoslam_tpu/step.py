@@ -77,6 +77,15 @@ STAT_KEYFRAMES = 10
 STAT_CONSEC_BAD = 11
 STAT_DROPPED = 12
 N_STATS = 13
+# the tracked pose rides the stats vector (rows 13:29, row-major 4x4): stats
+# is a FRESH per-frame device output (never donated), so the engine's pose
+# history can queue these rows host-side and flush them in one batched
+# scatter — holding `state.pose` instead would reference a buffer the next
+# step's donation deletes, and appending per frame costs a dispatch gap.
+# (The reference similarly downloads one fused stats+pose readback per frame,
+# `ElasticFusion.cpp:204-244`.)
+STAT_POSE0 = 13
+N_STATS_TOTAL = N_STATS + 16
 
 
 MODEL_INVALID_AGE = 1 << 20  # marks the stored model as unusable
@@ -217,6 +226,16 @@ def make_step(
         vel = jnp.linalg.norm(new_pose[:3, 3] - state.pose[:3, 3])
         weight_mult = weight_mult * jnp.clip(1.0 - vel / 0.3, 0.25, 1.0)
 
+        # tracking support: fraction of the valid frame pixels that became
+        # ICP inliers against the model prediction — the direct measure of
+        # how much of the view the stored model still explains (reference
+        # reaches the same quantity through denseEnough/icpCountThresh,
+        # `ElasticFusion.cpp:166-167,204-244`)
+        n_frame_valid = jnp.sum(
+            (frame_pyr.vmap[0][..., 2] > 0).astype(jnp.float32)
+        ) / float(cfg.track_row_stride ** 2)
+        support = res.icp_inliers / jnp.maximum(n_frame_valid, 1.0)
+
         # ---------------- NID fuse gate -------------------------------
         if cfg.nid_keyframing:
             n_img, n_depth, overlap = kfmod.nid_against_keyframe(
@@ -241,10 +260,6 @@ def make_step(
             # keeps the model under the camera (the reference reaches the
             # same end through denseEnough/shouldFillIn + icpCountThresh,
             # `ElasticFusion.cpp:166-167,204-244`).
-            n_frame_valid = jnp.sum(
-                (frame_pyr.vmap[0][..., 2] > 0).astype(jnp.float32)
-            ) / float(cfg.track_row_stride ** 2)
-            support = res.icp_inliers / jnp.maximum(n_frame_valid, 1.0)
             novel = (
                 (nid > cfg.nid_threshold)
                 | (overlap < 0.1)
@@ -284,6 +299,7 @@ def make_step(
         need_render = (
             first
             | do_fuse
+            | (support < cfg.model_min_support)
             | (trans_delta > cfg.model_trans_delta)
             | (rot_delta > cfg.model_rot_delta)
             | (state.model_age + 1 >= cfg.model_max_age)
@@ -426,6 +442,7 @@ def make_step(
         stats = stats.at[STAT_KEYFRAMES].set(kf_count.astype(jnp.float32))
         stats = stats.at[STAT_CONSEC_BAD].set(consec_bad.astype(jnp.float32))
         stats = stats.at[STAT_DROPPED].set(dropped.astype(jnp.float32))
+        stats = jnp.concatenate([stats, new_pose.reshape(-1)])
         return new_state, stats
 
     return jax.jit(step, donate_argnums=(0,))

@@ -191,8 +191,36 @@ def _so3_prealign(
     err_best = jnp.array(jnp.inf, jnp.float32)
     R = eye
     done = jnp.asarray(False)
-    for _ in range(SO3_ITERATIONS):
-        M = reductions.so3_rows_packed(i_c, pack_m, R, intr_top)
+    # exact re-association (bilinear model sample at the CURRENT rotation)
+    # for the first iterations, then ONE more sample frozen at the warmed-up
+    # rotation and Lucas-Kanade iterations against it — the model gather is
+    # the per-iteration cost, and past iteration 3 the warp moves sub-pixel.
+    exact = min(3, SO3_ITERATIONS)
+    H, W = i_c.shape
+    P = H * W
+    uu = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(P)
+    vv = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(P)
+    d = jnp.stack(
+        [
+            (uu - intr_top.cx) / intr_top.fx,
+            (vv - intr_top.cy) / intr_top.fy,
+            jnp.ones_like(uu),
+        ],
+        axis=-1,
+    )
+    i_flat = i_c.reshape(P)
+    smp = None
+    uv0 = None
+    for k in range(SO3_ITERATIONS):
+        if k == exact and k < SO3_ITERATIONS:
+            rd0 = jnp.sum(R * d[:, None, :], axis=-1)
+            u0, v0, _ = geometry.project(rd0, intr_top)
+            smp = reductions.sample_model(pack_m, u0, v0)
+            uv0 = jnp.stack([u0, v0], axis=-1)
+        if k < exact:
+            M = reductions.so3_rows_packed(i_c, pack_m, R, intr_top)
+        else:
+            M = reductions.so3_rows_frozen(d, i_flat, smp, uv0, R, intr_top)
         G = reductions.gram(M)
         JtJ3, Jtr3 = G[:3, :3], G[:3, 3]
         count = jnp.maximum(G[7, 7], 1.0)
@@ -224,8 +252,18 @@ def _gn_level(
     rgb_only: bool,
     row_stride: int = 1,
     nearest_finest: bool = True,
+    exact_iters: int = 0,
 ):
-    """Gauss-Newton iterations at one pyramid level; returns (A, stats)."""
+    """Gauss-Newton iterations at one pyramid level; returns (A, stats).
+
+    `exact_iters` iterations re-associate against the live model sample
+    (exact projective data association, the reference's per-iteration
+    behaviour); the remaining budget runs Lucas-Kanade style against ONE
+    sample frozen at the warmed-up estimate (`joint_rows_frozen`).  The
+    gather is the per-iteration cost on TPU, so the first GN level (whose
+    warm start carries the unsolved translation) gets a couple of exact
+    iterations and every later level — warm-started by its coarser
+    predecessor to sub-pixel — freezes from iteration 0."""
     i_c = frame.intensity[level]
     v_c, n_c = frame.vmap[level], frame.nmap[level]
     pack_m = model.pack[level]
@@ -291,31 +329,13 @@ def _gn_level(
     A = A0
     stats = init_stats
     done = jnp.asarray(iterations == 0)
-    # freeze association where the gather is hot AND a coarser level warmed
-    # the estimate up first (`nearest_finest` is already False in single-level
-    # fast mode, where the warm start may sit several pixels off and the
-    # frozen sample's drift gate would starve the solve)
-    frozen = nearest_finest and i_c.size >= 32768
-    if iterations <= 12 and frozen:
-        # ONE model gather per level (at the warm-start projection), then
-        # Lucas-Kanade iterations against the frozen sample — the gather is
-        # ~0.35 ms at the finest level while the row math is ~0.05 ms, so
-        # re-associating every iteration (the reference's behaviour) pays the
-        # gather 4x for sub-pixel association changes.  Coarse levels (cheap
-        # gathers) keep exact per-iteration re-association below.
-        P = i_c.size
-        v_flat = v_c.reshape(P, 3)
-        n_flat = n_c.reshape(P, 3)
-        i_flat = i_c.reshape(P)
-        p0 = se3.transform_points(A, v_flat)
-        u0, v0, _z0 = geometry.project(p0, intr_l)
-        smp = reductions.sample_model(pack_m, u0, v0, bilinear=bilinear)
-        uv0 = jnp.stack([u0, v0], axis=-1)
-        for _ in range(iterations):
-            M_icp, M_rgb = reductions.joint_rows_frozen(
-                v_flat, n_flat, i_flat, smp, uv0, A, intr_l
-            )
-            xi, ok, stats_new = _solve_iter(M_icp, M_rgb)
+    # `nearest_finest` is False in single-level fast mode, where the warm
+    # start may sit several pixels off and the frozen sample's drift gate
+    # would starve the solve — that mode keeps exact re-association only.
+    if iterations <= 12 and nearest_finest:
+        ex = min(exact_iters, iterations)
+        for _ in range(ex):
+            xi, ok, stats_new = gn_iter(A)
             A_new = jnp.where(ok, se3.apply_update(A, xi), A)
             step_done = ~ok | (jnp.sum(xi * xi) < 1e-9)
             A = jnp.where(done, A, A_new)
@@ -323,6 +343,33 @@ def _gn_level(
                 lambda old, new: jnp.where(done, old, new), stats, stats_new
             )
             done = done | step_done
+        if iterations - ex > 0:
+            # ONE model gather (at the warmed-up projection), then
+            # Lucas-Kanade iterations against the frozen sample — the gather
+            # is ~0.35 ms at the finest level while the row math is
+            # ~0.05 ms, so re-associating every iteration (the reference's
+            # behaviour) pays the gather repeatedly for sub-pixel
+            # association changes.
+            P = i_c.size
+            v_flat = v_c.reshape(P, 3)
+            n_flat = n_c.reshape(P, 3)
+            i_flat = i_c.reshape(P)
+            p0 = se3.transform_points(A, v_flat)
+            u0, v0, _z0 = geometry.project(p0, intr_l)
+            smp = reductions.sample_model(pack_m, u0, v0, bilinear=bilinear)
+            uv0 = jnp.stack([u0, v0], axis=-1)
+            for _ in range(iterations - ex):
+                M_icp, M_rgb = reductions.joint_rows_frozen(
+                    v_flat, n_flat, i_flat, smp, uv0, A, intr_l
+                )
+                xi, ok, stats_new = _solve_iter(M_icp, M_rgb)
+                A_new = jnp.where(ok, se3.apply_update(A, xi), A)
+                step_done = ~ok | (jnp.sum(xi * xi) < 1e-9)
+                A = jnp.where(done, A, A_new)
+                stats = jax.tree_util.tree_map(
+                    lambda old, new: jnp.where(done, old, new), stats, stats_new
+                )
+                done = done | step_done
     elif iterations <= 12:
         for _ in range(iterations):
             xi, ok, stats_new = gn_iter(A)
@@ -399,14 +446,21 @@ def track(
     )
     nearest_eff = nearest_finest and coarse_iters > 0
     stats = None
+    first_gn = True
     for level in range(levels - 1, -1, -1):
         iters = iterations[level] if level < len(iterations) else 0
         if iters == 0 or (not pyramid and level != 0):
             continue
+        # the first GN level's warm start still carries the unsolved
+        # translation, so it re-associates exactly for a couple of
+        # iterations before freezing; later levels arrive sub-pixel warm
+        # from their coarser predecessor and freeze from iteration 0
         A, stats = _gn_level(
             model, frame, A, level, iters, intr, icp_weight, rgb_only,
             row_stride=row_stride, nearest_finest=nearest_eff,
+            exact_iters=2 if first_gn else 0,
         )
+        first_gn = False
 
     icp_err, icp_inl, rgb_err, rgb_inl, JtJ = stats
     # failure guard (`RGBDOdometry.cpp:589-593`)

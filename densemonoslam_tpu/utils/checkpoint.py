@@ -50,7 +50,7 @@ def save_frontend(path: str, fe) -> None:
     payload["stats_log"] = (
         np.stack([np.asarray(s) for s in fe.stats_log])
         if fe.stats_log
-        else np.zeros((0, stepmod.N_STATS), np.float32)
+        else np.zeros((0, stepmod.N_STATS_TOTAL), np.float32)
     )
     payload["tick"] = np.asarray(fe.tick)
     np.savez_compressed(path, **payload)
