@@ -28,7 +28,12 @@ sys.path.insert(0, REPO)
 BASELINE_FPS = 30.0
 
 
-def _run_slam(W, H, n_frames, warmup, cfg_kw, intr=None):
+def _run_slam(W, H, n_frames, warmup, cfg_kw, intr=None, lap=0,
+              base_cfg=None):
+    """Run one benchmark leg.  `lap` > 0 replays a `lap`-frame orbit
+    repeatedly (frame i = orbit frame i % lap) so revisits land in the
+    INACTIVE map and the loop-closure machinery actually fires; returns
+    (fps, ate_mm, engine, loops_closed_in_timed_region)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -46,12 +51,14 @@ def _run_slam(W, H, n_frames, warmup, cfg_kw, intr=None):
                                  W / 2 - 0.5, H / 2 - 0.5),
         "bench",
     )
+    n_orbit = lap if lap > 0 else n_frames + warmup
+    radius = 0.35 if lap > 0 else 0.12
     seq = SyntheticSequence(
-        camera=camera, num_frames=n_frames + warmup, radius=0.12,
-        max_angle=0.12,
+        camera=camera, num_frames=n_orbit, radius=radius,
+        max_angle=0.12 if lap == 0 else 0.3,
     )
-    frames = [seq.frame(i) for i in range(n_frames + warmup)]
-    cfg = EngineConfig(
+    frames = [seq.frame(i) for i in range(n_orbit)]
+    base = dict(
         max_surfels=1 << 20,
         depth_cutoff=8.0,
         depth_factor=1.0,
@@ -59,8 +66,10 @@ def _run_slam(W, H, n_frames, warmup, cfg_kw, intr=None):
         nid_threshold=0.85,
         pyramid_levels=4,
         track_row_stride=2,
-        **cfg_kw,
     )
+    if base_cfg:
+        base.update(base_cfg)
+    cfg = EngineConfig(**{**base, **cfg_kw})
     eng = Engine(camera, cfg)
     eng.frontend("cam0")
     eng.frontends["cam0"].pose = seq.gt_pose(0).astype(np.float32)
@@ -70,18 +79,20 @@ def _run_slam(W, H, n_frames, warmup, cfg_kw, intr=None):
     ]
     jax.block_until_ready(frames)
     for i in range(warmup):
-        rgb, depth = frames[i]
+        rgb, depth = frames[i % n_orbit]
         eng.process_frame("cam0", rgb, depth, float(i), sync=False)
     jax.block_until_ready(eng.frontends["cam0"].state.map_data)
+    loops_pre = eng.frontends["cam0"].loops_closed
     t0 = time.perf_counter()
     for i in range(warmup, warmup + n_frames):
-        rgb, depth = frames[i]
+        rgb, depth = frames[i % n_orbit]
         eng.process_frame("cam0", rgb, depth, float(i), sync=False)
     jax.block_until_ready(eng.frontends["cam0"].state.map_data)
     fps = n_frames / (time.perf_counter() - t0)
+    loops_timed = eng.frontends["cam0"].loops_closed - loops_pre
     est = [p for _, p in eng.frontends["cam0"].trajectory]
-    gt = [seq.gt_pose(i) for i in range(len(est))]
-    return fps, ate_rmse(est, gt) * 1000.0, eng
+    gt = [seq.gt_pose(i % n_orbit) for i in range(len(est))]
+    return fps, ate_rmse(est, gt) * 1000.0, eng, loops_timed
 
 
 _COLLAB_SCRIPT = r"""
@@ -128,26 +139,38 @@ def main() -> None:
     warmup = 4
     # 1) headline: open-loop 640x480 (loop machinery's one-off compiles would
     # dominate a cold benchmark process; measured separately below)
-    fps_open, ate_mm, eng = _run_slam(
+    fps_open, ate_mm, eng, _ = _run_slam(
         640, 480, n_frames, warmup, dict(open_loop=True)
     )
-    # 2) closed loop: fern updates + local-loop attempts at cadence.
-    # warm up through TWO loop cadences so the loop programs' one-off
-    # compiles land outside the timed region
-    fps_closed, _, _ = _run_slam(
-        640, 480, n_frames, 18,
-        dict(open_loop=False, loop_check_interval=8, time_delta=200),
+    # 2) closed loop over a revisit lap: fern updates + local-loop attempts
+    # at cadence with `time_delta` SHORTER than the lap, so the second lap
+    # revisits land in the INACTIVE map and real closures (render + track +
+    # deform + pose-history rewrite + compaction) execute inside the timed
+    # region.  Warmup spans the first lap + one closure so every loop
+    # program's one-off compile lands outside the timing.
+    fps_closed, _, _, loops_timed = _run_slam(
+        640, 480, 60, 45,
+        dict(open_loop=False, loop_check_interval=8, time_delta=30,
+             deform_graph_sample_rate=2000, max_deform_nodes=256,
+             loop_min_inactive_frac=0.05, loop_cons_err_thresh=0.02),
+        lap=40,
     )
     # 3) relocalisation mode (device-side lost counter; <10%% headline cost)
-    fps_reloc, _, _ = _run_slam(
+    fps_reloc, _, _, _ = _run_slam(
         640, 480, n_frames, warmup, dict(open_loop=True, relocalisation=True)
     )
     # 4) KITTI operating point 1024x320
     from densemonoslam_tpu.config import CameraIntrinsics
 
-    fps_kitti, _, _ = _run_slam(
+    fps_kitti, _, _, _ = _run_slam(
         1024, 320, n_frames, warmup, dict(open_loop=True),
         intr=CameraIntrinsics(707.09, 707.09, 601.89, 183.11),
+    )
+    # 4b) DEFAULT-config operating point (pyramid_levels=3, row_stride=1):
+    # what a user gets without the benchmarked tuning (VERDICT r3 weak #8)
+    fps_default, _, _, _ = _run_slam(
+        640, 480, n_frames, warmup, dict(open_loop=True),
+        base_cfg=dict(pyramid_levels=3, track_row_stride=1),
     )
     # 5) collaborative scaling on the virtual CPU mesh (subprocess: the main
     # process owns the TPU backend)
@@ -176,7 +199,12 @@ def main() -> None:
                     "ate_mm": round(ate_mm, 2),
                     "surfels": eng.surfel_count("cam0"),
                     "frames": n_frames,
+                    "closed_loop": {
+                        "fps": round(fps_closed, 2),
+                        "loops_closed": int(loops_timed),
+                    },
                     "closed_loop_fps": round(fps_closed, 2),
+                    "default_cfg_fps": round(fps_default, 2),
                     "reloc_fps": round(fps_reloc, 2),
                     "reloc_overhead_pct": round(
                         100.0 * (1.0 - fps_reloc / max(fps_open, 1e-9)), 1

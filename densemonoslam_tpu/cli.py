@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--confidence", type=float, default=10.0, help="`--c`")
     ap.add_argument("--depth-cutoff", type=float, default=3.0, help="`--d`")
     ap.add_argument("--icp-weight", type=float, default=10.0, help="`--i`")
+    ap.add_argument("--ipt", default=None, metavar="W0,W1,...",
+                    help="per-sensor ICP weights (`--ipt`), comma-separated "
+                         "by sensor id; missing sensors use --icp-weight")
     ap.add_argument("--nid-threshold", type=float, default=0.85, help="`--nid`")
     ap.add_argument("--max-surfels", type=int, default=1 << 20)
     ap.add_argument("--pyramid-levels", type=int, default=None)
@@ -158,6 +161,10 @@ def _run_multi(args) -> int:
         confidence_threshold=args.confidence,
         depth_cutoff=args.depth_cutoff,
         icp_weight=args.icp_weight,
+        icp_weight_per_sensor=(
+            tuple(float(w) for w in args.ipt.split(","))
+            if args.ipt else None
+        ),
         nid_threshold=args.nid_threshold,
         nid_keyframing=not args.no_nid,
         open_loop=args.open_loop,
@@ -247,6 +254,10 @@ def main(argv=None) -> int:
         confidence_threshold=args.confidence,
         depth_cutoff=args.depth_cutoff if args.dataset != "synthetic" else 8.0,
         icp_weight=args.icp_weight,
+        icp_weight_per_sensor=(
+            tuple(float(w) for w in args.ipt.split(","))
+            if args.ipt else None
+        ),
         nid_threshold=args.nid_threshold,
         nid_keyframing=not args.no_nid,
         open_loop=args.open_loop,

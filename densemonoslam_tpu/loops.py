@@ -154,18 +154,37 @@ def _constraints_from_alignment(
     return dg.Constraint(src=src, dst=dst, time=time, valid=vmask, pinned=pinned)
 
 
-@jax.jit
-def _reactivate_in_view(data, count, pose, t_now):
+def _reactivate_in_view(
+    data, count, pose, t_now, intr, width: int, height: int,
+    depth_max: float = 25.0,
+):
     """After a successful local loop the inactive region folds back into the
-    active window (reference `copy_unstable.vert:150-156` re-activation):
-    bump last-seen of every live surfel to now is too blunt — only those the
-    deformation pulled into the current view matter, but a full-map bump of
-    recently *deformed* regions approximates the reference; we bump all live
-    surfels' sensor-0 last-seen."""
+    active window (reference `copy_unstable.vert:150-156`: a deformed surfel
+    whose POST-deformation position projects into the current frustum gets
+    its last-seen time bumped to now).  Only in-view surfels are reactivated
+    — bumping every live surfel would blow the active set past the windowed
+    passes' tail block on maps larger than `active_window` and silently drop
+    the overflow from fusion (duplicate geometry on the revisited region).
+
+    Called from inside an already-jitted loop program; `data` holds the
+    post-`apply_to_map` (deformed) positions, `pose` the corrected pose."""
     idx = jnp.arange(data.shape[0] - 1)
     alive = (data[:-1, sm.CONF] > 0) & (idx < count)
+    Tinv = se3.se3_inverse(pose)
+    p_c = se3.transform_points(Tinv, data[:-1, sm.POS])
+    z = p_c[:, 2]
+    zs = jnp.maximum(z, 1e-6)
+    u = p_c[:, 0] / zs * intr.fx + intr.cx
+    v = p_c[:, 1] / zs * intr.fy + intr.cy
+    in_view = (
+        (z > 0.05) & (z < depth_max)
+        & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+    )
+    sel = alive & in_view
     col = data[:-1, 12]
-    data = data.at[:-1, 12].set(jnp.where(alive, jnp.asarray(t_now, jnp.float32), col))
+    data = data.at[:-1, 12].set(
+        jnp.where(sel, jnp.asarray(t_now, jnp.float32), col)
+    )
     return data
 
 
@@ -254,7 +273,10 @@ def _make_local_loop(intr, W: int, H: int, cfg: EngineConfig):
                     d3, c3 = op3
                     d4 = dg.apply_to_map(d3, c3, graph2)
                     npse = dg.apply_to_pose(graph2, state.pose, t_f)
-                    d4 = _reactivate_in_view(d4, c3, npse, t_now)
+                    d4 = _reactivate_in_view(
+                        d4, c3, npse, t_now, intr, W, H,
+                        depth_max=cfg.max_depth,
+                    )
                     return d4, npse, graph2, _emit_relative(
                         bank, graph2, cons, n_src
                     )
@@ -395,7 +417,9 @@ def update_ferns(
     """Encode the frame, query the DB (excluding the recent past), and insert
     if novel.  Returns (state, code, best_idx, best_dissim).  The DB doubles
     in capacity when full (up to `max_capacity`), mirroring the reference's
-    unbounded keyframe vector."""
+    unbounded keyframe vector; once at `max_capacity` novel frames EVICT the
+    most redundant stored keyframe instead of being refused (the reference
+    never stops accepting — `Ferns.h:76-89` — so neither do we)."""
     db = fs.db
     if (
         db.codes.shape[0] < max_capacity
@@ -408,7 +432,8 @@ def update_ferns(
     code = fernmod.encode(fs.coder, rgb8, d8)
     idx, dis = fernmod.best_match(db, code)
     db, _added = fernmod.add_frame(
-        db, code, pose, i8, d8, time=t_now, min_dissim=dis, thresh=thresh
+        db, code, pose, i8, d8, time=t_now, min_dissim=dis, thresh=thresh,
+        evict=db.codes.shape[0] >= max_capacity,
     )
     return FernLoopState(coder=fs.coder, db=db), code, idx, dis
 
@@ -510,7 +535,9 @@ def _make_hybrid_loop(intr, W: int, H: int, cfg: EngineConfig):
             d2, c2 = op
             d3 = dg.apply_to_map(d2, c2, graph2)
             npse = C @ state.pose
-            d3 = _reactivate_in_view(d3, c2, npse, t_now)
+            d3 = _reactivate_in_view(
+                d3, c2, npse, t_now, intr, W, H, depth_max=cfg.max_depth
+            )
             return d3, npse, graph2
 
         def no_apply(op):

@@ -124,7 +124,9 @@ def best_match(
     return i, d[i]
 
 
-@functools.partial(jax.jit, donate_argnames=("db",))
+@functools.partial(
+    jax.jit, donate_argnames=("db",), static_argnames=("evict",)
+)
 def add_frame(
     db: FernDB,
     code: jnp.ndarray,
@@ -134,13 +136,47 @@ def add_frame(
     time: jnp.ndarray | float,
     min_dissim: jnp.ndarray,
     thresh: float = FERN_THRESH,
+    evict: bool = False,
 ) -> Tuple[FernDB, jnp.ndarray]:
     """Insert the frame if it is novel enough (reference `addFrame`:
     keep when min dissimilarity > fernThresh, or DB empty).  Returns
-    (db, added?)."""
+    (db, added?).
+
+    With `evict=True` a FULL database still accepts novel frames by
+    overwriting its most redundant entry — the keyframe with minimum
+    dissimilarity to its nearest neighbour, i.e. the one carrying the least
+    unique place information.  The reference never needs this (its `frames`
+    vector is unbounded, `Ferns.h:76-89`); fixed-capacity device arrays do,
+    or place recognition silently freezes in the oldest part of the map once
+    `fern_db_max` is reached."""
     K = db.codes.shape[0]
-    add = ((min_dissim > thresh) | (db.count == 0)) & (db.count < K)
-    slot = jnp.where(add, db.count, K - 1)  # overwrite guard (no-op row reuse)
+    novel = (min_dissim > thresh) | (db.count == 0)
+    full = db.count >= K
+    add = novel & ((db.count < K) | (jnp.asarray(evict) & full))
+
+    def append_slot(_):
+        return jnp.where(add, db.count, K - 1)
+
+    if evict:
+        def evict_slot(_):
+            # pairwise code-agreement via one MXU matmul over one-hot codes:
+            # eq[i,j] = #ferns on which keyframes i and j agree
+            F = db.codes.shape[1]
+            oh = jax.nn.one_hot(db.codes, 16, dtype=jnp.bfloat16).reshape(K, -1)
+            eq = jnp.dot(oh, oh.T, preferred_element_type=jnp.float32)
+            dis = 1.0 - eq / float(F)
+            i = jnp.arange(K)
+            live = (i < db.count).astype(jnp.float32)
+            # self-pairs and empty slots never count as neighbours
+            pairmask = live[:, None] * live[None, :] * (1.0 - jnp.eye(K))
+            dis = jnp.where(pairmask > 0, dis, jnp.inf)
+            nn = jnp.min(dis, axis=1)  # each entry's nearest-neighbour dissim
+            nn = jnp.where(i < db.count, nn, jnp.inf)
+            return jnp.argmin(nn).astype(jnp.int32)
+
+        slot = jax.lax.cond(full & novel, evict_slot, append_slot, None)
+    else:
+        slot = append_slot(None)
 
     def put(arr, val):
         return jax.lax.cond(
@@ -153,7 +189,7 @@ def add_frame(
         intensity=put(db.intensity, intensity_small),
         depth=put(db.depth, depth_small),
         times=put(db.times, jnp.asarray(time, jnp.float32)),
-        count=db.count + add.astype(jnp.int32),
+        count=jnp.minimum(db.count + add.astype(jnp.int32), K),
     )
     return db, add
 

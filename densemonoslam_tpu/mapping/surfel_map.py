@@ -136,11 +136,13 @@ def append_surfels(
 @functools.partial(
     jax.jit,
     donate_argnames=("m",),
-    static_argnames=("time_delta", "stale_conf_threshold", "unstable_ttl"),
+    static_argnames=(
+        "time_delta", "stale_conf_threshold", "unstable_ttl", "max_active",
+    ),
 )
 def compact(m: SurfelMap, time: jnp.ndarray | float | None = None,
             time_delta: int = 0, stale_conf_threshold: float = 0.0,
-            unstable_ttl: int = 20) -> SurfelMap:
+            unstable_ttl: int = 20, max_active: int = 0) -> SurfelMap:
     """Compact live surfels to the front (reference: the copy_unstable pass
     simply skips culled surfels during feedback; with static shapes we sort by
     liveness instead — a stable argsort keeps temporal ordering, which the
@@ -183,6 +185,27 @@ def compact(m: SurfelMap, time: jnp.ndarray | float | None = None,
     idx = jnp.arange(m.capacity)
     conf = jnp.where(idx < count, data[:-1, CONF], 0.0)
     data = data.at[:-1, CONF].set(conf)
+    if max_active > 0 and time is not None:
+        # backstop for the windowed hot passes: if more than `max_active`
+        # surfels sit inside the time window (e.g. a loop closure reactivated
+        # a large in-view region), demote the OLDEST-appended overflow back to
+        # inactive (last-seen = t_now - time_delta) — they stay in the map and
+        # in the INACTIVE loop-closure view, but the active tail block the
+        # windowed render/fusion streams stays a true superset of the ACTIVE
+        # set (no silently-dropped fusion targets / duplicate geometry).
+        # Post-sort the layout is [inactive..., active...], so the overflow is
+        # the first (n_active - max_active) rows of the active tail; demoted
+        # rows remain between the inactive front and the kept active tail,
+        # preserving the partition invariant.
+        n_active = jnp.sum((key == 1).astype(jnp.int32))
+        demote_lo = count - n_active
+        demote_hi = count - max_active
+        demote = (idx >= demote_lo) & (idx < demote_hi)
+        t_inact = jnp.asarray(time, jnp.float32) - jnp.float32(time_delta)
+        ls = data[:-1, LAST_SEEN]
+        data = data.at[:-1, LAST_SEEN].set(
+            jnp.where(demote[:, None], jnp.minimum(ls, t_inact), ls)
+        )
     return SurfelMap(data=data, count=count)
 
 

@@ -126,6 +126,11 @@ def make_step(
     cfg = config
     levels = cfg.pyramid_levels
     iterations = cfg.iterations_for_levels()
+    # per-sensor tracking weight (`--ipt`): this camera's ICP-vs-RGB weight
+    pss = cfg.icp_weight_per_sensor
+    icp_weight = (
+        pss[sensor] if pss is not None and sensor < len(pss) else cfg.icp_weight
+    )
     # hot ACTIVE-mode passes stream only the active tail block
     win = cfg.active_window if cfg.active_window < cfg.max_surfels else 0
 
@@ -180,7 +185,7 @@ def make_step(
             model_pyr, frame_pyr, A_init,
             intr,
             iterations=iterations,
-            icp_weight=cfg.icp_weight,
+            icp_weight=icp_weight,
             rgb_only=cfg.rgb_only,
             pyramid=cfg.pyramid,
             use_so3=cfg.so3,
@@ -231,9 +236,19 @@ def make_step(
         # how much of the view the stored model still explains (reference
         # reaches the same quantity through denseEnough/icpCountThresh,
         # `ElasticFusion.cpp:166-167,204-244`)
+        # normalise by the EFFECTIVE row count: `_gn_level` only decimates
+        # residual rows when the finest level keeps >= 4096 of them, so at
+        # small resolutions the inlier count is unstrided and dividing by
+        # stride^2 would inflate support ~stride^2 (disabling the force-fuse
+        # and model-refresh gates exactly when they matter)
+        stride_eff = (
+            cfg.track_row_stride
+            if (height * width) // (cfg.track_row_stride ** 2) >= 4096
+            else 1
+        )
         n_frame_valid = jnp.sum(
             (frame_pyr.vmap[0][..., 2] > 0).astype(jnp.float32)
-        ) / float(cfg.track_row_stride ** 2)
+        ) / float(stride_eff ** 2)
         support = res.icp_inliers / jnp.maximum(n_frame_valid, 1.0)
 
         # ---------------- NID fuse gate -------------------------------

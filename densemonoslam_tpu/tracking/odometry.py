@@ -350,6 +350,7 @@ def _gn_level(
             # ~0.05 ms, so re-associating every iteration (the reference's
             # behaviour) pays the gather repeatedly for sub-pixel
             # association changes.
+            rest = iterations - ex
             P = i_c.size
             v_flat = v_c.reshape(P, 3)
             n_flat = n_c.reshape(P, 3)
@@ -358,18 +359,60 @@ def _gn_level(
             u0, v0, _z0 = geometry.project(p0, intr_l)
             smp = reductions.sample_model(pack_m, u0, v0, bilinear=bilinear)
             uv0 = jnp.stack([u0, v0], axis=-1)
-            for _ in range(iterations - ex):
-                M_icp, M_rgb = reductions.joint_rows_frozen(
-                    v_flat, n_flat, i_flat, smp, uv0, A, intr_l
-                )
-                xi, ok, stats_new = _solve_iter(M_icp, M_rgb)
-                A_new = jnp.where(ok, se3.apply_update(A, xi), A)
-                step_done = ~ok | (jnp.sum(xi * xi) < 1e-9)
-                A = jnp.where(done, A, A_new)
-                stats = jax.tree_util.tree_map(
-                    lambda old, new: jnp.where(done, old, new), stats, stats_new
-                )
-                done = done | step_done
+            # keep the tight 2 px linearisation gate at every level (widening
+            # it admits rows whose Lucas-Kanade expansion is unreliable and
+            # measurably degrades convergence); fast-motion robustness comes
+            # from the starvation fallback below instead
+            drift = 2.0
+
+            def run_frozen(carry):
+                A, stats, done = carry
+                for _ in range(rest):
+                    M_icp, M_rgb = reductions.joint_rows_frozen(
+                        v_flat, n_flat, i_flat, smp, uv0, A, intr_l,
+                        drift_px=drift,
+                    )
+                    xi, ok, stats_new = _solve_iter(M_icp, M_rgb)
+                    A_new = jnp.where(ok, se3.apply_update(A, xi), A)
+                    step_done = ~ok | (jnp.sum(xi * xi) < 1e-9)
+                    A = jnp.where(done, A, A_new)
+                    stats = jax.tree_util.tree_map(
+                        lambda old, new: jnp.where(done, old, new),
+                        stats, stats_new,
+                    )
+                    done = done | step_done
+                return A, stats, done
+
+            def run_exact(carry):
+                A, stats, done = carry
+                for _ in range(rest):
+                    xi, ok, stats_new = gn_iter(A)
+                    A_new = jnp.where(ok, se3.apply_update(A, xi), A)
+                    step_done = ~ok | (jnp.sum(xi * xi) < 1e-9)
+                    A = jnp.where(done, A, A_new)
+                    stats = jax.tree_util.tree_map(
+                        lambda old, new: jnp.where(done, old, new),
+                        stats, stats_new,
+                    )
+                    done = done | step_done
+                return A, stats, done
+
+            # starvation probe: under fast motion the warm start can sit
+            # outside the frozen drift gate and the first frozen iteration
+            # collapses below the inlier floor — the old behaviour then set
+            # `done` and silently accepted the warm start (coarse-only
+            # refinement) without raising `failed`.  When the frozen rows
+            # starve while the level has not converged, re-associate exactly
+            # for the remaining budget instead (costs `rest` gathers, but
+            # only on the rare starved frames thanks to lax.cond).
+            M_icp0, M_rgb0 = reductions.joint_rows_frozen(
+                v_flat, n_flat, i_flat, smp, uv0, A, intr_l, drift_px=drift
+            )
+            _xi0, ok0, _st0 = _solve_iter(M_icp0, M_rgb0)
+            starved = ~done & ~ok0
+            A, stats, done = jax.lax.cond(
+                starved, run_exact, run_frozen, (A, stats, done)
+            )
     elif iterations <= 12:
         for _ in range(iterations):
             xi, ok, stats_new = gn_iter(A)

@@ -407,18 +407,6 @@ def retrieve(
     return best_idx, best_sims
 
 
-@jax.jit
-def _track_core(
-    kp_kf: Keypoints,
-    kp: Keypoints,
-    kf_pose: jnp.ndarray,
-    prev_pose: jnp.ndarray,
-    intr_vec: jnp.ndarray,
-):
-    del intr_vec  # traced via closure-free call below
-    raise NotImplementedError  # replaced at runtime (see SparseTracker)
-
-
 class SparseTracker:
     """Host-side tracker state machine (the `ORB_SLAM3::System` role for the
     hybrid path): per-frame pose from motion-only GN against the last

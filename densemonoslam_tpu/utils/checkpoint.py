@@ -103,5 +103,19 @@ def load_frontend(path: str, fe) -> None:
     fe.pose_hist = jnp.asarray(hist)
     fe.hist_times = jnp.asarray(htimes)
     fe.ts_log = list(z["ts_log"])
-    fe.stats_log = [jnp.asarray(s) for s in z["stats_log"]]
+    stats_arr = z["stats_log"]
+    if stats_arr.shape[0] > 0 and stats_arr.shape[1] < stepmod.N_STATS_TOTAL:
+        # checkpoint predates the pose-carrying stats widening: pad each row
+        # to N_STATS_TOTAL with the matching pose from the pose history (the
+        # rows are frame-aligned with pose_log) so new frames can append
+        # full-width rows without making the log ragged
+        pad_poses = np.zeros(
+            (stats_arr.shape[0], stepmod.N_STATS_TOTAL - stats_arr.shape[1]),
+            np.float32,
+        )
+        n_pose = min(stats_arr.shape[0], z["pose_log"].shape[0])
+        if pad_poses.shape[1] == 16 and n_pose > 0:
+            pad_poses[:n_pose] = z["pose_log"][:n_pose].reshape(n_pose, 16)
+        stats_arr = np.concatenate([stats_arr, pad_poses], axis=1)
+    fe.stats_log = [jnp.asarray(s) for s in stats_arr]
     fe.tick = int(z["tick"])

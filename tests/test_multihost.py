@@ -78,10 +78,12 @@ def test_two_host_session(tmp_path):
         line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
         r = json.loads(line[len("RESULT "):])
         results[r["pid"]] = r
+    from densemonoslam_tpu import step as stepmod
+
     assert set(results) == {0, 1}
     for pid, r in results.items():
         # every host sees ALL 4 cameras' stats (session-wide all-gather)
-        assert r["stats_shape"] == [4, 13]
+        assert r["stats_shape"] == [4, stepmod.N_STATS_TOTAL]
         assert all(s > 0 for s in r["surfels"])
     # both hosts agree on the global surfel total (psum over DCN)
     assert results[0]["total"] == results[1]["total"]
