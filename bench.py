@@ -95,6 +95,66 @@ def _run_slam(W, H, n_frames, warmup, cfg_kw, intr=None, lap=0,
     return fps, ate_rmse(est, gt) * 1000.0, eng, loops_timed
 
 
+def _run_mono_street():
+    """Flagship monocular street lap at the KITTI operating point (BASELINE
+    config 3 stand-in): CNN depth prediction -> sparse tracking with local
+    RGB-D BA -> windowed dense fusion -> hybrid loop closure over a ~314 m
+    closing lap.  Reference command: `--predict_depth --orb_tracking ...`
+    (`/root/reference/README.md:128-133`)."""
+    import numpy as np
+    import jax
+
+    from densemonoslam_tpu.config import CameraConfig, EngineConfig
+    from densemonoslam_tpu.engine import Engine
+    from densemonoslam_tpu.eval import ate_rmse
+    from densemonoslam_tpu.io.street import StreetSequence
+    from densemonoslam_tpu.models.depthnet import DepthPredictor
+    from densemonoslam_tpu.tracking.sparse import SparseTracker
+
+    n = int(os.environ.get("BENCH_STREET_FRAMES", "520"))
+    seq = StreetSequence(
+        camera=CameraConfig.kitti_default(), num_frames=n,
+        exposure_jitter=0.03,
+    )
+    cfg = EngineConfig(
+        max_surfels=1 << 22, depth_cutoff=40.0, max_depth=80.0,
+        depth_factor=1.0, depth_gate_rel=0.1, nid_keyframing=True,
+        open_loop=True, predict_depth=True, orb_tracking=True,
+        hybrid_loops=True, time_delta=200, pyramid_levels=4,
+        track_row_stride=2,
+    )
+    eng = Engine(seq.camera, cfg)
+    eng.frontend("cam0")
+    eng.set_depth_predictor(DepthPredictor.pretrained_street())
+    fe = eng.frontends["cam0"]
+    fe.pose = seq.gt_pose(0).astype(np.float32)
+    fe.sparse_tracker = SparseTracker(
+        seq.camera.intrinsics, run_local_ba=True, keyframe_min_disp=1.0,
+        loop_min_gap=100,
+    )
+    fe.sparse_tracker.pose = np.asarray(fe.state.pose)
+    frames = [seq.frame(i)[0] for i in range(n)]  # host render pre-paid
+    warm = 12
+    for i in range(warm):
+        eng.process_frame("cam0", frames[i], None, float(i), sync=False)
+    jax.block_until_ready(fe.state.map_data)
+    t0 = time.perf_counter()
+    for i in range(warm, n):
+        eng.process_frame("cam0", frames[i], None, float(i), sync=False)
+    jax.block_until_ready(fe.state.map_data)
+    fps = (n - warm) / (time.perf_counter() - t0)
+    est = [p for _, p in fe.trajectory]
+    gt = [seq.gt_pose(i) for i in range(len(est))]
+    return {
+        "fps": round(fps, 2),
+        "ate_m": round(float(ate_rmse(est, gt)), 3),
+        "hybrid_loops": fe.loops_closed,
+        "sparse_loops": fe.sparse_tracker.loops_closed,
+        "surfels": int(fe.state.map_count),
+        "frames": n,
+    }
+
+
 _COLLAB_SCRIPT = r"""
 import os, sys, time, json
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
@@ -172,6 +232,11 @@ def main() -> None:
         640, 480, n_frames, warmup, dict(open_loop=True),
         base_cfg=dict(pyramid_levels=3, track_row_stride=1),
     )
+    # 4c) flagship monocular street lap (KITTI operating point, full stack)
+    try:
+        mono_street = _run_mono_street()
+    except Exception as e:  # pragma: no cover — report, don't die
+        mono_street = {"error": str(e)[:200]}
     # 5) collaborative scaling on the virtual CPU mesh (subprocess: the main
     # process owns the TPU backend)
     collab_info = {}
@@ -210,6 +275,7 @@ def main() -> None:
                         100.0 * (1.0 - fps_reloc / max(fps_open, 1e-9)), 1
                     ),
                     "kitti_fps_1024x320": round(fps_kitti, 2),
+                    "mono_street_kitti": mono_street,
                     "collab": collab_info,
                 },
             }

@@ -99,6 +99,12 @@ class EngineConfig:
     # --- map / fusion ------------------------------------------------------
     confidence_threshold: float = 10.0  # `--c` surfel stable-confidence gate
     depth_cutoff: float = 3.0  # `--d` metres; fusion ignores deeper pixels
+    # fusion association / free-space gates proportional to depth (fraction
+    # of z).  0 keeps the reference's absolute gates (+-0.05 m window,
+    # data.vert) — correct at indoor scale; street/KITTI-scale depth (tens of
+    # metres, predicted by a CNN with ~5-8% error) needs gates that grow with
+    # range or every refused association duplicates the scene every frame
+    depth_gate_rel: float = 0.0
     max_depth: float = 25.0  # tracking depth cutoff (reference
     # maxDepthProcessed = 25 m, `ElasticFusion.cpp:56` — the dense tracker
     # sees far geometry the fusion cutoff excludes)

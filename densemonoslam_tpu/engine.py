@@ -316,13 +316,46 @@ class Engine:
         cfg = self.config
         return cfg.active_window if cfg.active_window < cfg.max_surfels else 0
 
-    def _on_loop_closed(self, fe: Frontend, be: MapBackend, graph) -> None:
+    def _rewrite_history_from_pgo(self, fe: Frontend, ev) -> None:
+        """Apply the sparse tracker's PGO keyframe corrections to this
+        frontend's pose history (reference role: ORB-SLAM3's corrected
+        trajectory after a loop; the export should be loop-consistent).
+
+        `ev` = (kf_ticks, kf_poses_before, kf_poses_after); keyframe ticks
+        index this camera's frames, which align 1:1 with the history rows."""
+        n = len(fe.ts_log)
+        if n == 0 or fe.pose_hist is None:
+            return
+        kf_ticks, before, after = ev
+        if len(kf_ticks) == 0:
+            return
+        deltas = np.einsum(
+            "kij,kjl->kil", after, np.linalg.inv(before)
+        ).astype(np.float32)
+        # each history row takes the delta of the last keyframe at/before it
+        j = np.clip(
+            np.searchsorted(kf_ticks, np.arange(n), side="right") - 1, 0, None
+        )
+        hist = np.asarray(fe.pose_hist[:n])
+        hist = np.einsum("nij,njl->nil", deltas[j], hist)
+        fe.pose_hist = fe.pose_hist.at[:n].set(jnp.asarray(hist))
+
+    def _on_loop_closed(
+        self, fe: Frontend, be: MapBackend, graph,
+        rewrite_history: bool = True,
+    ) -> None:
         """Everything an accepted deformation must touch beyond the map:
         rewrite the pose history and the fern keyframe poses through the
         graph (reference `Deformation::constrain` binds fern poses + the full
         pose graph, `Deformation.cpp:106-124,167`), then re-partition the map
-        so reactivated surfels enter the hot active tail window."""
-        if fe.pose_hist is not None:
+        so reactivated surfels enter the hot active tail window.
+
+        `rewrite_history=False` when the trajectory was ALREADY corrected
+        this frame by the sparse tracker's pose-graph optimum (hybrid path):
+        the deformation graph was built against the DRIFTED layout, so
+        applying it on top of the PGO-corrected history would double-apply
+        the loop correction."""
+        if rewrite_history and fe.pose_hist is not None:
             fe.pose_hist = dg.apply_to_poses(graph, fe.pose_hist, fe.hist_times)
         if fe.fern_state is not None:
             db = fe.fern_state.db
@@ -388,6 +421,17 @@ class Engine:
             )
             d_m = jnp.asarray(depth_raw, jnp.float32) / cfg.depth_factor
             sparse_pose_dev, sparse_ok_dev = fe.sparse_tracker.track(inten, d_m)
+            ev = fe.sparse_tracker.pop_pgo_event()
+            pgo_rewrote = ev is not None
+            if ev is not None:
+                # a sparse loop closed and the pose graph re-optimised:
+                # rewrite the dense trajectory with the per-keyframe
+                # corrections (each history entry takes the delta of the
+                # last keyframe at or before it).  The deformation graph's
+                # own pose rewrite (on accepted hybrid closures) handles the
+                # MAP; this handles the long-range trajectory, which view-
+                # local deformation constraints cannot encode.
+                self._rewrite_history_from_pgo(fe, ev)
             if cfg.hybrid_loops:
                 pair = fe.sparse_tracker.pop_loop()
                 if pair is not None:
@@ -408,7 +452,10 @@ class Engine:
                     if linfo.closed:
                         fe.loops_closed += 1
                         fe.sparse_tracker.pose = np.asarray(fe.state.pose)
-                        self._on_loop_closed(fe, be0, lgraph)
+                        self._on_loop_closed(
+                            fe, be0, lgraph,
+                            rewrite_history=not pgo_rewrote,
+                        )
         if sparse_pose_dev is not None:
             pose_in = sparse_pose_dev
             use_in = sparse_ok_dev  # device bool: no host branch

@@ -131,6 +131,7 @@ def fuse_window(
     unstable_ttl: int = UNSTABLE_TTL,
     time_delta: int = 200,
     cluster_id: jnp.ndarray | float = 0.0,
+    depth_gate_rel: float = 0.0,
 ):
     """The window-level fusion core: association + weighted update + inline
     clean + new-row packing, WITHOUT touching the full map tensor.
@@ -151,7 +152,10 @@ def fuse_window(
 
     z_f = vmap_c[..., 2]
     valid_f = (z_f > 0) & (jnp.linalg.norm(nmap_c, axis=-1) > 0.5)
-    depth_ok = jnp.abs(pred.depth - z_f) < DEPTH_GATE
+    # depth-proportional gate for street-scale / CNN-predicted depth
+    # (`depth_gate_rel`, see EngineConfig); 0 = reference absolute window
+    gate = jnp.maximum(DEPTH_GATE, depth_gate_rel * z_f)
+    depth_ok = jnp.abs(pred.depth - z_f) < gate
     norm_ok = jnp.sum(pred.nmap * nmap_c, axis=-1) > NORMAL_DOT_GATE
     matched = valid_f & (pred.index >= 0) & depth_ok & norm_ok
 
@@ -261,8 +265,9 @@ def fuse_window(
     # --- inline clean (reference copy_unstable outlier cull) ---------------
     if clean_depth is not None:
         d_obs = g[:, 12]
+        fs_margin = jnp.maximum(FREE_SPACE_MARGIN, 2.0 * depth_gate_rel * d_obs)
         free_space = (
-            in_view & (d_obs > 0) & (z_s < d_obs - FREE_SPACE_MARGIN)
+            in_view & (d_obs > 0) & (z_s < d_obs - fs_margin)
         )
         new_conf = blk[:, sm.CONF]
         last = jnp.max(blk[:, sm.LAST_SEEN], axis=-1)

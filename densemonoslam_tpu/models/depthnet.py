@@ -126,6 +126,27 @@ class DepthPredictor:
         p.load(os.path.join(base, "depthnet_synthetic.npz"), 120, 160)
         return p
 
+    @classmethod
+    def pretrained_street(cls) -> "DepthPredictor":
+        """Packaged weights trained on the street-scale procedural loop
+        (`examples/train_depthnet_street.py`) — the monocular KITTI-shaped
+        operating point (reference normnet role, `DepthPrediction.cpp:3-169`,
+        `--predict_depth`)."""
+        import json
+        import os
+
+        base = os.path.join(os.path.dirname(__file__), "weights")
+        with open(os.path.join(base, "depthnet_street.json")) as f:
+            meta = json.load(f)
+        p = cls(
+            widths=tuple(meta["widths"]),
+            min_depth=meta["min_depth"],
+            max_depth=meta["max_depth"],
+        )
+        h, w = meta.get("train_res", [80, 256])
+        p.load(os.path.join(base, "depthnet_street.npz"), h, w)
+        return p
+
     # --- weight I/O --------------------------------------------------------
     def save(self, path: str) -> None:
         flat = jax.tree_util.tree_flatten_with_path(self._params)[0]

@@ -181,6 +181,12 @@ class BAProblem(NamedTuple):
     pnt_idx: jnp.ndarray  # [O] i32
     uv: jnp.ndarray  # [O, 2] observed pixels
     valid: jnp.ndarray  # [O] bool
+    # optional per-observation measured depth (metres; 0 = no measurement).
+    # When present, each observation adds a depth residual in pixel-
+    # equivalent units (fx/z-weighted) — RGB-D BA: scale and the along-ray
+    # landmark direction become directly observable, which pure reprojection
+    # BA cannot see under forward motion (the KITTI degeneracy).
+    z: jnp.ndarray | None = None
 
 
 def _project(pose, X, intr: CameraIntrinsics):
@@ -190,22 +196,35 @@ def _project(pose, X, intr: CameraIntrinsics):
     return jnp.array([p[0] / z * intr.fx + intr.cx, p[1] / z * intr.fy + intr.cy]), p
 
 
-def _ba_blocks(poses, points, cam_idx, pnt_idx, uv, valid, intr):
+def _ba_blocks(poses, points, cam_idx, pnt_idx, uv, valid, intr, z_obs=None):
     """Per-observation residuals + Jacobians wrt camera twist (right
-    perturbation) and point position.  Returns (r [O,2], Jc [O,2,6],
-    Jp [O,2,3])."""
+    perturbation) and point position.  Returns (r [O,R], Jc [O,R,6],
+    Jp [O,R,3]) with R=2 (reprojection) or 3 (+ fx/z-weighted depth when
+    `z_obs` is given)."""
 
-    def one(ci, pi, obs_uv, ok):
+    use_z = z_obs is not None
+    if not use_z:
+        z_obs = jnp.zeros(cam_idx.shape, jnp.float32)
+
+    def one(ci, pi, obs_uv, ok, zo):
         pose = poses[ci]
         X = points[pi]
+        has_z = (zo > 0).astype(jnp.float32)
+        wz = intr.fx / jnp.maximum(zo, 0.5)  # metres -> pixel-equivalent
+
+        def res(xi, dX):
+            proj, p = _project(pose @ se3.se3_exp(xi), X + dX, intr)
+            r_uv = proj - obs_uv
+            if use_z:
+                rz = (p[2] - zo) * wz * has_z
+                return jnp.concatenate([r_uv, rz[None]])
+            return r_uv
 
         def res_c(xi):
-            proj, _ = _project(pose @ se3.se3_exp(xi), X, intr)
-            return proj - obs_uv
+            return res(xi, jnp.zeros(3))
 
         def res_p(dX):
-            proj, _ = _project(pose, X + dX, intr)
-            return proj - obs_uv
+            return res(jnp.zeros(6), dX)
 
         r = res_c(jnp.zeros(6))
         Jc = jax.jacfwd(res_c)(jnp.zeros(6))
@@ -213,7 +232,18 @@ def _ba_blocks(poses, points, cam_idx, pnt_idx, uv, valid, intr):
         m = ok.astype(jnp.float32)
         return r * m, Jc * m, Jp * m
 
-    return jax.vmap(one)(cam_idx, pnt_idx, uv, valid)
+    return jax.vmap(one)(cam_idx, pnt_idx, uv, valid, z_obs)
+
+
+@functools.partial(jax.jit, static_argnames=("intr",))
+def reproj_errors(problem: BAProblem, intr: CameraIntrinsics) -> jnp.ndarray:
+    """[O] per-observation reprojection error (px) at the current estimate —
+    used to gate outlier matches out of a BA problem before solving."""
+    r, _, _ = _ba_blocks(
+        problem.poses, problem.points, problem.cam_idx, problem.pnt_idx,
+        problem.uv, problem.valid, intr, z_obs=problem.z,
+    )
+    return jnp.linalg.norm(r, axis=-1)
 
 
 def _schur_reduce(r, Jc, Jp, cam_idx, pnt_idx, K, Pn, damping):
@@ -247,18 +277,24 @@ def _schur_reduce(r, Jc, Jp, cam_idx, pnt_idx, K, Pn, damping):
     return S, b, Vinv, b_p, G
 
 
-@functools.partial(jax.jit, static_argnames=("intr", "iters", "fix_cameras"))
+@functools.partial(
+    jax.jit, static_argnames=("intr", "iters", "fix_cameras", "huber")
+)
 def bundle_adjust(
     problem: BAProblem,
     intr: CameraIntrinsics,
     iters: int = 5,
     damping: float = 1e-4,
     fix_cameras: int = 1,
+    huber: float = 0.0,
 ) -> Tuple[BAProblem, jnp.ndarray]:
     """Single-device Schur-complement BA.  Returns (problem, mean px error).
 
     `fix_cameras` pins the first N camera blocks: 1 fixes the 6-DoF gauge;
-    projective-only problems (no depth) need 2 to also fix scale."""
+    projective-only problems (no depth) need 2 to also fix scale.
+    `huber` > 0 applies a Huber IRLS weight (px) to each observation —
+    required with real feature matches, whose outliers otherwise send the
+    quadratic solve off a cliff."""
     K = problem.poses.shape[0]
     Pn = problem.points.shape[0]
 
@@ -266,8 +302,19 @@ def bundle_adjust(
         poses, points = carry
         r, Jc, Jp = _ba_blocks(
             poses, points, problem.cam_idx, problem.pnt_idx, problem.uv,
-            problem.valid, intr,
+            problem.valid, intr, z_obs=problem.z,
         )
+        if huber > 0:
+            w = jnp.sqrt(
+                jnp.minimum(
+                    1.0,
+                    huber
+                    / jnp.maximum(jnp.linalg.norm(r, axis=-1), 1e-9),
+                )
+            )
+            r = r * w[:, None]
+            Jc = Jc * w[:, None, None]
+            Jp = Jp * w[:, None, None]
         S, b, Vinv, b_p, G = _schur_reduce(
             r, Jc, Jp, problem.cam_idx, problem.pnt_idx, K, Pn, damping
         )
@@ -288,7 +335,7 @@ def bundle_adjust(
     )
     r, _, _ = _ba_blocks(
         poses, points, problem.cam_idx, problem.pnt_idx, problem.uv,
-        problem.valid, intr,
+        problem.valid, intr, z_obs=problem.z,
     )
     n = jnp.maximum(jnp.sum(problem.valid), 1)
     err = jnp.sum(jnp.linalg.norm(r, axis=-1)) / n

@@ -352,6 +352,7 @@ def make_step(
                     conf_threshold=cfg.confidence_threshold,
                     time_delta=cfg.time_delta,
                     cluster_id=cluster_id,
+                    depth_gate_rel=cfg.depth_gate_rel,
                 )
                 return blk, packed[:S_pack], n_want, matched, culled
 

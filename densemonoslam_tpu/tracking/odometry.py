@@ -170,6 +170,31 @@ def build_frame_pyramid(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("levels", "intr"))
+def frame_pyramid_from_depth_intensity(
+    intensity: jnp.ndarray,
+    depth_metric: jnp.ndarray,
+    intr: CameraIntrinsics,
+    levels: int = 3,
+) -> FramePyramid:
+    """Like `build_frame_pyramid` but from an already-computed intensity
+    image (decimated views, fern-resolution verification)."""
+    ints = preprocess.build_pyramid(intensity, levels, depth=False)
+    depths = preprocess.build_pyramid(depth_metric, levels, depth=True)
+    vmaps, nmaps, gxs, gys = [], [], [], []
+    for lv in range(levels):
+        vm = geometry.backproject(depths[lv], intr.scaled(lv))
+        vmaps.append(vm)
+        nmaps.append(geometry.normal_map(vm))
+        gx, gy = preprocess.sobel_gradients(ints[lv])
+        gxs.append(gx)
+        gys.append(gy)
+    return FramePyramid(
+        intensity=tuple(ints), vmap=tuple(vmaps), nmap=tuple(nmaps),
+        grad_x=tuple(gxs), grad_y=tuple(gys),
+    )
+
+
 def _so3_prealign(
     model: ModelPyramid, frame: FramePyramid, intr_top: CameraIntrinsics,
     R0: jnp.ndarray | None = None,
@@ -365,24 +390,35 @@ def _gn_level(
             # from the starvation fallback below instead
             drift = 2.0
 
-            def run_frozen(carry):
-                A, stats, done = carry
-                for _ in range(rest):
-                    M_icp, M_rgb = reductions.joint_rows_frozen(
-                        v_flat, n_flat, i_flat, smp, uv0, A, intr_l,
-                        drift_px=drift,
-                    )
-                    xi, ok, stats_new = _solve_iter(M_icp, M_rgb)
-                    A_new = jnp.where(ok, se3.apply_update(A, xi), A)
-                    step_done = ~ok | (jnp.sum(xi * xi) < 1e-9)
-                    A = jnp.where(done, A, A_new)
-                    stats = jax.tree_util.tree_map(
-                        lambda old, new: jnp.where(done, old, new),
-                        stats, stats_new,
-                    )
-                    done = done | step_done
-                return A, stats, done
+            # keep the pre-frozen carry so the starvation fallback can redo
+            # the level from the warm start with exact re-association
+            A_pre, stats_pre, done_pre = A, stats, done
 
+            first_ok = jnp.asarray(True)
+            for k in range(rest):
+                M_icp, M_rgb = reductions.joint_rows_frozen(
+                    v_flat, n_flat, i_flat, smp, uv0, A, intr_l,
+                    drift_px=drift,
+                )
+                xi, ok, stats_new = _solve_iter(M_icp, M_rgb)
+                if k == 0:
+                    first_ok = ok
+                A_new = jnp.where(ok, se3.apply_update(A, xi), A)
+                step_done = ~ok | (jnp.sum(xi * xi) < 1e-9)
+                A = jnp.where(done, A, A_new)
+                stats = jax.tree_util.tree_map(
+                    lambda old, new: jnp.where(done, old, new),
+                    stats, stats_new,
+                )
+                done = done | step_done
+
+            # starvation fallback: under fast motion the warm start can sit
+            # outside the frozen drift gate and the first frozen iteration
+            # collapses below the inlier floor — the old behaviour then set
+            # `done` and silently accepted the warm start (coarse-only
+            # refinement) without raising `failed`.  When that happens,
+            # redo the level with exact re-association (costs `rest`
+            # gathers, but only on the rare starved frames — lax.cond).
             def run_exact(carry):
                 A, stats, done = carry
                 for _ in range(rest):
@@ -397,21 +433,12 @@ def _gn_level(
                     done = done | step_done
                 return A, stats, done
 
-            # starvation probe: under fast motion the warm start can sit
-            # outside the frozen drift gate and the first frozen iteration
-            # collapses below the inlier floor — the old behaviour then set
-            # `done` and silently accepted the warm start (coarse-only
-            # refinement) without raising `failed`.  When the frozen rows
-            # starve while the level has not converged, re-associate exactly
-            # for the remaining budget instead (costs `rest` gathers, but
-            # only on the rare starved frames thanks to lax.cond).
-            M_icp0, M_rgb0 = reductions.joint_rows_frozen(
-                v_flat, n_flat, i_flat, smp, uv0, A, intr_l, drift_px=drift
-            )
-            _xi0, ok0, _st0 = _solve_iter(M_icp0, M_rgb0)
-            starved = ~done & ~ok0
+            starved = ~done_pre & ~first_ok
             A, stats, done = jax.lax.cond(
-                starved, run_exact, run_frozen, (A, stats, done)
+                starved,
+                lambda _: run_exact((A_pre, stats_pre, done_pre)),
+                lambda _: (A, stats, done),
+                None,
             )
     elif iterations <= 12:
         for _ in range(iterations):
@@ -449,7 +476,7 @@ def _gn_level(
     jax.jit,
     static_argnames=(
         "intr", "iterations", "icp_weight", "rgb_only", "pyramid", "use_so3",
-        "row_stride", "nearest_finest",
+        "row_stride", "nearest_finest", "trans_fail_thresh",
     ),
 )
 def track(
@@ -464,6 +491,7 @@ def track(
     use_so3: bool = True,
     row_stride: int = 1,
     nearest_finest: bool = True,
+    trans_fail_thresh: float = TRANSLATION_FAILURE_THRESH,
 ) -> TrackResult:
     """Full multi-level tracking (reference
     `RGBDOdometry::getIncrementalTransformation`).
@@ -506,9 +534,11 @@ def track(
         first_gn = False
 
     icp_err, icp_inl, rgb_err, rgb_inl, JtJ = stats
-    # failure guard (`RGBDOdometry.cpp:589-593`)
+    # failure guard (`RGBDOdometry.cpp:589-593`).  `trans_fail_thresh` is a
+    # parameter because inter-map verification legitimately crosses larger
+    # baselines than frame-to-model tracking ever should.
     dt = jnp.linalg.norm(A[:3, 3] - A_init[:3, 3])
-    failed = (dt > TRANSLATION_FAILURE_THRESH) | ~jnp.all(jnp.isfinite(A))
+    failed = (dt > trans_fail_thresh) | ~jnp.all(jnp.isfinite(A))
     A_out = jnp.where(failed, A_init, A)
     return TrackResult(
         A=A_out,

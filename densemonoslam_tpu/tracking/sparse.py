@@ -426,6 +426,9 @@ class SparseTracker:
         octaves: int = OCTAVES,
         flush_interval: int = 4,
         run_pgo: bool = True,
+        local_ba_window: int = 6,
+        run_local_ba: bool = True,
+        local_ba_min_baseline: float = 0.25,
     ):
         self.intr = intr
         self._pose = jnp.eye(4, dtype=jnp.float32)  # camera-to-world
@@ -437,12 +440,18 @@ class SparseTracker:
         self.octaves = octaves
         self.flush_interval = flush_interval
         self.run_pgo = run_pgo
+        self.local_ba_window = local_ba_window
+        self.run_local_ba = run_local_ba
+        self.local_ba_min_baseline = local_ba_min_baseline
         self.last_loop: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        # (kf_ticks, kf_poses_before, kf_poses_after) of the last PGO run
+        self.pgo_event: Optional[Tuple] = None
         self._pending: list = []  # (kp, pose_dev, ok_dev, disp_dev, tick)
         self._prev: Optional[tuple] = None  # (Keypoints, pose_dev)
         self._summaries = jnp.zeros((64, 256), jnp.float32)
         self._edges: list = []  # (i, j, Z np [4,4], weight)
         self.loops_closed = 0
+        self.local_ba_runs = 0
 
     # ---------------------------------------------------------------- pose
     @property
@@ -509,6 +518,7 @@ class SparseTracker:
         )  # ONE device fetch for the whole interval
         base_pose = np.asarray(self.keyframes[-1][1])
         acc_disp = 0.0
+        inserted = False
         for (kp, pose_dev, _, _, tick), (ok_f, disp) in zip(
             self._pending, scalars
         ):
@@ -520,9 +530,141 @@ class SparseTracker:
                 pose_np = np.asarray(pose_dev)
                 self._maybe_close_loop(kp, pose_np, tick)
                 self._insert_keyframe(kp, pose_np, tick)
+                inserted = True
                 acc_disp = 0.0
         del base_pose
         self._pending.clear()
+        if inserted and self.run_local_ba:
+            self._local_ba()
+
+    # ----------------------------------------------------------- local BA
+    def _local_ba(self) -> None:
+        """Sliding-window local bundle adjustment (the ORB-SLAM3 LocalMapping
+        role the reference consumes, `MainController.cpp:131-135`): landmarks
+        are tracked through consecutive keyframe matches across the last
+        `local_ba_window` keyframes, initialised by depth backprojection at
+        their first observation, and jointly refined with the window poses by
+        Schur-complement BA (`parallel.ba.bundle_adjust`).  The first two
+        window cameras are pinned (6-DoF gauge + scale); refined poses are
+        written back to the keyframes, the odometry edges between them, and
+        the live pose."""
+        from densemonoslam_tpu.parallel import ba
+
+        W = min(self.local_ba_window, len(self.keyframes))
+        if W < 3:
+            return
+        window = self.keyframes[-W:]
+        kps = [kf[0] for kf in window]
+        poses = np.stack([np.asarray(kf[1]) for kf in window]).astype(np.float32)
+        # BA needs parallax: with consecutive-keyframe baselines far below
+        # the scene depth (indoor orbits), the reprojection problem is
+        # rotation/translation-ambiguous and 'refinement' random-walks the
+        # poses (measured 0.04 -> 0.93 m ATE on the orbit fixture); motion-
+        # only GN + PGO already handle that regime.  Street/KITTI-scale
+        # keyframes (metre baselines) are where windowed BA pays.
+        bl = np.mean(
+            np.linalg.norm(np.diff(poses[:, :3, 3], axis=0), axis=-1)
+        )
+        if bl < self.local_ba_min_baseline:
+            return
+
+        KP = kps[0].uv.shape[0]
+        P_CAP = KP  # at most one track per seed keypoint slot
+        m_all = [np.asarray(match(kps[i - 1], kps[i])[0]) for i in range(1, W)]
+        uvs = [np.asarray(k.uv) for k in kps]
+        deps = [np.asarray(k.depth) for k in kps]
+        vals = [np.asarray(k.valid) for k in kps]
+
+        track_ids = [np.full(KP, -1, np.int32) for _ in range(W)]
+        points = np.zeros((P_CAP, 3), np.float32)
+        n_tracks = 0
+        fx, fy = self.intr.fx, self.intr.fy
+        cx, cy = self.intr.cx, self.intr.cy
+        for i in range(W - 1):
+            m = m_all[i]
+            fwd = (m >= 0) & vals[i]
+            # propagate live tracks to the next keyframe
+            has_id = fwd & (track_ids[i] >= 0)
+            track_ids[i + 1][m[has_id]] = track_ids[i][has_id]
+            # open new tracks at their first matched observation (needs depth
+            # for the world-point seed)
+            new = fwd & (track_ids[i] < 0) & (deps[i] > 0)
+            idx_new = np.where(new)[0]
+            room = P_CAP - n_tracks
+            idx_new = idx_new[:room]
+            if idx_new.size:
+                u, v = uvs[i][idx_new, 0], uvs[i][idx_new, 1]
+                z = deps[i][idx_new]
+                p_cam = np.stack(
+                    [(u - cx) / fx * z, (v - cy) / fy * z, z], axis=-1
+                )
+                R, t = poses[i][:3, :3], poses[i][:3, 3]
+                ids = np.arange(n_tracks, n_tracks + idx_new.size, dtype=np.int32)
+                points[ids] = p_cam @ R.T + t
+                track_ids[i][idx_new] = ids
+                track_ids[i + 1][m[idx_new]] = ids
+                n_tracks += idx_new.size
+        if n_tracks < 30:
+            return
+
+        # flatten observations (every keyframe slot carrying a track id);
+        # each observation also carries its MEASURED depth, turning the solve
+        # into RGB-D BA — pure reprojection BA cannot observe scale or the
+        # along-ray landmark position under forward motion
+        O_CAP = W * KP
+        cam_idx = np.zeros((O_CAP,), np.int32)
+        pnt_idx = np.zeros((O_CAP,), np.int32)
+        uv_obs = np.zeros((O_CAP, 2), np.float32)
+        z_obs = np.zeros((O_CAP,), np.float32)
+        valid = np.zeros((O_CAP,), bool)
+        o = 0
+        for i in range(W):
+            sel = np.where(track_ids[i] >= 0)[0]
+            n = sel.size
+            cam_idx[o : o + n] = i
+            pnt_idx[o : o + n] = track_ids[i][sel]
+            uv_obs[o : o + n] = uvs[i][sel]
+            z_obs[o : o + n] = deps[i][sel]
+            valid[o : o + n] = True
+            o += n
+
+        problem = ba.BAProblem(
+            poses=jnp.asarray(poses),
+            points=jnp.asarray(points),
+            cam_idx=jnp.asarray(cam_idx),
+            pnt_idx=jnp.asarray(pnt_idx),
+            uv=jnp.asarray(uv_obs),
+            valid=jnp.asarray(valid),
+            z=jnp.asarray(z_obs),
+        )
+        # outlier gate: drop observations already >8 px off at the (good)
+        # odometry estimate — wrong matches propagated through the track
+        # chain would otherwise dominate the quadratic solve
+        errs = np.asarray(ba.reproj_errors(problem, self.intr))
+        problem = problem._replace(
+            valid=jnp.asarray(valid & (errs < 8.0))
+        )
+        refined, _err = ba.bundle_adjust(
+            problem, self.intr, iters=4, fix_cameras=1, damping=1e-2,
+            huber=3.0,
+        )
+        out = np.asarray(refined.poses)
+        base = len(self.keyframes) - W
+        for wi in range(W):
+            kp, _, tick = self.keyframes[base + wi]
+            self.keyframes[base + wi] = (kp, out[wi], tick)
+        # refresh odometry edges between window members with the BA-refined
+        # relative transforms (they feed later PGO runs)
+        for e, (i, j, Z, wgt) in enumerate(self._edges):
+            if base <= i < base + W and base <= j < base + W and wgt == 1.0:
+                Znew = np.linalg.inv(out[i - base]) @ out[j - base]
+                self._edges[e] = (i, j, Znew.astype(np.float32), wgt)
+        # carry the live pose with the last keyframe's correction
+        delta = out[W - 1] @ np.linalg.inv(poses[W - 1])
+        self._pose = jnp.asarray(delta @ np.asarray(self._pose), jnp.float32)
+        if self._prev is not None:
+            self._prev = (self._prev[0], self._pose)
+        self.local_ba_runs += 1
 
     def _insert_keyframe(self, kp: Keypoints, pose_np, tick: int) -> None:
         k = len(self.keyframes)
@@ -583,18 +725,46 @@ class SparseTracker:
         Z = np.asarray(A).astype(np.float32)
         self._edges.append((j, k, Z, 3.0))
         if self.run_pgo:
-            self._optimise_graph(pending_pose=corrected)
+            self._optimise_graph(
+                pending_pose=corrected, old_pose=np.asarray(pose_np),
+                anchor_idx=j,
+            )
 
-    def _optimise_graph(self, pending_pose: np.ndarray) -> None:
+    def _optimise_graph(
+        self, pending_pose: np.ndarray, old_pose: Optional[np.ndarray] = None,
+        anchor_idx: Optional[int] = None,
+    ) -> None:
         """Pose-graph GN over all keyframes + the pending one (odometry +
         loop edges) via `parallel.ba.optimise_pose_graph`; keyframe poses and
-        the live pose are rewritten from the optimum."""
+        the live pose are rewritten from the optimum.
+
+        `old_pose` is the pending keyframe's PRE-correction estimate: the
+        live-pose delta must map the drifted estimate onto the optimum —
+        measuring it against the already-corrected `pending_pose` would make
+        the delta ~identity and silently leave the live pose drifted.
+
+        `anchor_idx` (the loop's old keyframe) enables the distributed warm
+        start: the end-of-loop correction is interpolated in se(3) along the
+        chain from the anchor to the end BEFORE GN runs.  Without it, a loop
+        closing tens of metres of drift leaves GN's first step so far outside
+        the quadratic basin that every iteration is rejected by the
+        divergence rollback — the pending pose corrects (its loop edge is
+        direct) while all other keyframes silently keep their drift."""
         from densemonoslam_tpu.parallel import ba
 
         K = len(self.keyframes) + 1
         poses = np.stack(
             [p for _, p, _ in self.keyframes] + [pending_pose]
         ).astype(np.float32)
+        poses_orig = poses.copy()
+        if old_pose is not None and anchor_idx is not None:
+            C = (pending_pose @ np.linalg.inv(old_pose)).astype(np.float32)
+            xi = np.asarray(se3.se3_log(jnp.asarray(C)))
+            span = max(K - 1 - anchor_idx, 1)
+            for idx in range(anchor_idx + 1, K - 1):
+                s = (idx - anchor_idx) / span
+                D = np.asarray(se3.se3_exp(jnp.asarray(s * xi, jnp.float32)))
+                poses[idx] = D @ poses[idx]
         # pad to power-of-two capacity so recompiles are logarithmic
         Kcap = 8
         while Kcap < K:
@@ -610,19 +780,38 @@ class SparseTracker:
         w = np.zeros((Ecap,), np.float32)
         for e, (i, j, Ze, we) in enumerate(self._edges):
             ei[e], ej[e], Z[e], w[e] = i, j, Ze, we
+        # the distributed warm start above carries the LONG-RANGE correction
+        # (CG propagates information one edge-hop per iteration, so without
+        # it ~2K iterations would be needed and cost would grow
+        # quadratically with trajectory length); a fixed modest CG budget
+        # then polishes locally, keeping per-closure cost linear in the
+        # graph size
         out, _err = ba.optimise_pose_graph(
             jnp.asarray(poses_p),
             ba.PoseGraphEdges(
                 i=jnp.asarray(ei), j=jnp.asarray(ej),
                 Z=jnp.asarray(Z), weight=jnp.asarray(w),
             ),
+            cg_iters=128,
         )
         out = np.asarray(out)
+        # record the per-keyframe corrections (from the ORIGINAL, pre-warm-
+        # start poses) so the engine can rewrite its own pose history (the
+        # dense trajectory) to the loop-consistent sparse optimum — the
+        # deformation graph alone cannot encode tens of metres of drift
+        # correction along a whole lap from view-local constraints
+        self.pgo_event = (
+            np.array([t for _, _, t in self.keyframes], np.int64),
+            poses_orig[: len(self.keyframes)].copy(),
+            out[: len(self.keyframes)].copy(),
+        )
         for idx in range(len(self.keyframes)):
             kp, _, tick = self.keyframes[idx]
             self.keyframes[idx] = (kp, out[idx], tick)
-        # carry the live pose with the last keyframe's correction
-        delta = out[K - 1] @ np.linalg.inv(poses[K - 1])
+        # carry the live pose with the last keyframe's correction, measured
+        # from its PRE-correction estimate (the live pose is still there)
+        ref = poses[K - 1] if old_pose is None else old_pose
+        delta = out[K - 1] @ np.linalg.inv(ref)
         self._pose = jnp.asarray(
             delta @ np.asarray(self._pose), jnp.float32
         )
@@ -637,4 +826,12 @@ class SparseTracker:
         `getLoopClosureCandidate`)."""
         out = self.last_loop
         self.last_loop = None
+        return out
+
+    def pop_pgo_event(self) -> Optional[Tuple]:
+        """(kf_ticks, kf_poses_before, kf_poses_after) of the last pose-graph
+        optimisation, once — consumed by the engine to rewrite its exported
+        trajectory to the loop-consistent optimum."""
+        out = self.pgo_event
+        self.pgo_event = None
         return out
