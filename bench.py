@@ -232,6 +232,14 @@ def main() -> None:
         640, 480, n_frames, warmup, dict(open_loop=True),
         base_cfg=dict(pyramid_levels=3, track_row_stride=1),
     )
+    # 4d) reference-capacity demonstration: 1<<25 = 33.5M surfels (the
+    # reference's 5700^2 ~= 32.5M, `GlobalModel.cpp:22-24`).  The windowed
+    # design argues per-frame cost is capacity-independent; this proves it
+    # (and that a reference-sized map fits HBM: 2.1 GB at 64 B/row).
+    fps_32m, _, _, _ = _run_slam(
+        640, 480, max(n_frames // 2, 10), warmup,
+        dict(open_loop=True, max_surfels=1 << 25),
+    )
     # 4c) flagship monocular street lap (KITTI operating point, full stack)
     try:
         mono_street = _run_mono_street()
@@ -276,6 +284,7 @@ def main() -> None:
                     ),
                     "kitti_fps_1024x320": round(fps_kitti, 2),
                     "mono_street_kitti": mono_street,
+                    "fps_at_32M_capacity": round(fps_32m, 2),
                     "collab": collab_info,
                 },
             }

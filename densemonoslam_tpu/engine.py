@@ -745,6 +745,17 @@ class Engine:
             dst.map_data, dst.map_count, src.map_data, src.map_count, T
         )
         dst.dropped += int(merge_dropped)  # overflow is surfaced, not silent
+        # merge_maps no longer re-sorts the map; restore the
+        # [inactive..., active...] partition (and the active-set cap) NOW so
+        # the windowed hot passes stream a valid tail block on the very next
+        # frame
+        m = sm.compact(
+            sm.SurfelMap(data=dst.map_data, count=dst.map_count),
+            time=float(self.global_tick),
+            time_delta=self.config.time_delta,
+            max_active=self._max_active(),
+        )
+        dst.map_data, dst.map_count = m.data, m.count
         if src.rel_bank is not None:
             dst.rel_bank = loopsmod.merge_rel_banks(
                 dst.get_rel_bank(), src.rel_bank, T

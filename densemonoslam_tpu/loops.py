@@ -615,13 +615,12 @@ def merge_maps(
     blended = jnp.where(keep[:, None], packed, existing)
     data = jax.lax.dynamic_update_slice(data_b, blended, (start, 0))
     count = jnp.minimum(count_b + n_take, Nb).astype(jnp.int32)
-    # restore global temporal ordering (alive rows first, by init_time)
-    rows = data[:-1]
-    idx = jnp.arange(Nb)
-    alive = (rows[:, sm.CONF] > 0) & (idx < count)
-    key = jnp.where(alive, rows[:, sm.INIT_TIME], jnp.inf)
-    order = jnp.argsort(key, stable=True)
-    data = data.at[:-1].set(rows[order])
+    # NO global temporal re-sort: the deformation graph sorts its sampled
+    # NODES by time (`deformation.sample_graph`), so map rows need not be
+    # time-ordered — an O(N log N) argsort+gather over the full capacity per
+    # merge would be hostile at the reference's 32.5M-surfel scale.  The
+    # next periodic compaction restores the [inactive..., active...]
+    # partition the windowed hot passes rely on.
     return data, count, dropped
 
 

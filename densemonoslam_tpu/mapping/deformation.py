@@ -110,10 +110,17 @@ def sample_graph(
     idx = jnp.minimum(idx, data.shape[0] - 2)
     pos = data[idx][:, sm.POS]
     time = data[idx][:, sm.INIT_TIME]
+    # sort the NODES by time here (max_nodes elements, trivial) instead of
+    # requiring the map rows to be globally time-ordered: `_blend_weights`
+    # searchsorts node times, and sorting 512 nodes per graph build is free
+    # while re-sorting a 32M-row map after every merge is not
+    time = jnp.where(ok, time, jnp.inf)  # invalid nodes sort last
+    order = jnp.argsort(time)
+    pos, time, ok = pos[order], time[order], ok[order]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (max_nodes, 3, 3))
     return DeformGraph(
         pos=jnp.where(ok[:, None], pos, 0.0),
-        time=jnp.where(ok, time, jnp.inf),  # invalid nodes sort last
+        time=time,
         valid=ok,
         A=eye,
         t=jnp.zeros((max_nodes, 3), jnp.float32),

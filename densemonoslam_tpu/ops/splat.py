@@ -148,14 +148,20 @@ def render(
     ok = visible & inb
     tid = jnp.where(ok, vi * width + ui, HW)
 
-    idx_bits = max(int(n_rows - 1).bit_length(), 1)
-    if packed_zbuffer and windowed and idx_bits <= 21:
+    if packed_zbuffer and n_rows <= (1 << 21):
         # phase 1+2 fused: ONE scatter-min of a packed (inverse-depth bucket,
         # index) key — scatters serialise per update on TPU, so halving the
         # scatter count halves the dominant render cost.  The bucket only
         # decides the winner among near-coincident surfels (the output depth
         # is the winner's EXACT z, gathered in phase 3); bucket width at
-        # depth z is ~z^2 * depth_max/2^z_bits metres.
+        # depth z is ~z^2 * depth_max/2^z_bits metres.  Applies to windowed
+        # AND full-map passes (the INACTIVE loop-closure renders) whenever
+        # the row count fits the FIXED 21 index bits — fixed, not
+        # capacity-derived, so two maps holding the same surfels at
+        # different capacities produce bit-identical renders
+        # (capacity-invariance); larger maps (32M capacity) fall back to
+        # the exact two-scatter path.
+        idx_bits = 21
         z_bits = 31 - idx_bits
         n_buckets = (1 << z_bits) - 1
         inv = 1.0 / jnp.maximum(z, 1e-3)

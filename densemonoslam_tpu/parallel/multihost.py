@@ -111,9 +111,12 @@ class MultiHostSession:
         )
         self.mesh = session_mesh(self.n_cams)
         self.cam_sharding = NamedSharding(self.mesh, P("cam"))
+        self.intr = intr
         self.step_fn = collab.make_collab_step(
             self.mesh, intr, height, width, self.cfg
         )
+        self._im_round = None
+        self._im_state = None
         # init the global state ON the mesh (a host-local init array would
         # not be addressable across processes)
         n, cap, H, W = self.n_cams, self.cfg.max_surfels, height, width
@@ -137,6 +140,41 @@ class MultiHostSession:
         self.state, stats, total = self.step_fn(self.state, rgb, depth)
         self.ticks += 1
         return np.asarray(stats), int(total)
+
+    def enable_intermap(self, **kw) -> None:
+        """Arm collective inter-map closure rounds (BASELINE config 5's
+        'inter-map loop closures' in the distributed session; reference
+        `ReferenceFrame::resolveRelativeTransformationFern` +
+        `consumeReferenceFrame`).  Every camera starts in its OWN map;
+        `intermap_round` merges maps when cameras recognise each other's
+        places — all decisions ride replicated collectives, so every host
+        applies the same merge without any cross-host control messages."""
+        from densemonoslam_tpu.parallel import intermap
+
+        self._im_round = intermap.make_intermap_round(
+            self.mesh, self.intr, self.height, self.width, self.cfg, **kw
+        )
+        ist_host = intermap.init_state(self.n_cams, self.cfg.num_ferns)
+        self._im_state = jax.tree.map(
+            lambda v: jax.make_array_from_process_local_data(
+                self.cam_sharding,
+                np.ascontiguousarray(
+                    np.asarray(v)[list(self.my_cam_slots)]
+                ),
+            ),
+            ist_host,
+        )
+
+    def intermap_round(self, rgb_local: np.ndarray, depth_local: np.ndarray):
+        """Run one collective inter-map round with this host's frames.
+        Returns the replicated `intermap.MergeInfo` (host numpy views)."""
+        assert self._im_round is not None, "call enable_intermap() first"
+        rgb = self._globalise(np.asarray(rgb_local))
+        depth = self._globalise(np.asarray(depth_local, np.float32))
+        self.state, self._im_state, info = self._im_round(
+            self.state, self._im_state, rgb, depth
+        )
+        return jax.tree.map(np.asarray, info)
 
     @property
     def my_cam_slots(self) -> range:

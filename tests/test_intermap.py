@@ -110,7 +110,10 @@ def test_intermap_merge(seq):
 
 
 def test_merge_maps_transform_correct(seq):
-    """Unit check of merge_maps: rows land transformed and time-sorted."""
+    """Unit check of merge_maps: rows land transformed; the deformation
+    graph's node sampling stays time-consistent WITHOUT a full-map re-sort
+    (merge_maps no longer argsorts the whole capacity — hostile at 32M rows;
+    `deformation.sample_graph` sorts its sampled nodes instead)."""
     from densemonoslam_tpu import loops
 
     rng = np.random.default_rng(0)
@@ -136,9 +139,14 @@ def test_merge_maps_transform_correct(seq):
     )
     assert int(count) == nb + na
     out = np.asarray(data)[: nb + na]
-    # time-sorted
-    times = out[:, sm.INIT_TIME]
-    assert np.all(np.diff(times) >= 0)
+    # rows need NOT be time-sorted any more, but the deformation graph
+    # sampled from the merged map must still have time-sorted nodes (that is
+    # what `_blend_weights`' searchsorted relies on)
+    from densemonoslam_tpu.mapping import deformation as dg
+
+    g = dg.sample_graph(data, count, max_nodes=64, sample_rate=2)
+    g_times = np.asarray(g.time)[np.asarray(g.valid)]
+    assert np.all(np.diff(g_times) >= 0)
     # A's rows transformed: find rows with conf==3
     a_rows = out[out[:, sm.CONF] == 3.0]
     assert a_rows.shape[0] == na

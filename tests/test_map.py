@@ -234,7 +234,12 @@ def test_active_window_tail_block(seq):
     res = seq.camera.resolution
     window = 1 << 15  # < capacity, > active count
     kw = dict(time=301, time_delta=200, mode=splat.MODE_ACTIVE)
-    full = splat.render(m.data, m.count, pose4, intr, res.width, res.height, **kw)
+    # window-INVARIANCE is asserted in the exact mode on both sides
+    # (packed-vs-exact agreement has its own test below)
+    full = splat.render(
+        m.data, m.count, pose4, intr, res.width, res.height,
+        packed_zbuffer=False, **kw
+    )
     blk = splat.render(
         m.data, m.count, pose4, intr, res.width, res.height, window=window,
         packed_zbuffer=False, **kw
@@ -253,7 +258,7 @@ def test_active_window_tail_block(seq):
     pose5 = jnp.asarray(seq.gt_pose(5).astype(np.float32))
     m_full, st_full = fusion.fuse(
         sm.SurfelMap(data=m.data + 0.0, count=m.count + 0), vmap5, nmap5, rgb5,
-        pose5, intr, time=301,
+        pose5, intr, time=301, packed_zbuffer=False,
     )
     m_blk, st_blk = fusion.fuse(
         sm.SurfelMap(data=m.data + 0.0, count=m.count + 0), vmap5, nmap5, rgb5,
@@ -324,8 +329,9 @@ def test_packed_zbuffer_close_to_exact(seq):
     both = cov_e & cov_p
     de = np.asarray(exact.depth)[both]
     dp = np.asarray(packed.depth)[both]
-    # winner depth within an inverse-depth bucket (+ splat refinement slack)
-    inv_step = 20.0 / ((1 << (31 - 15)) - 1)
+    # winner depth within an inverse-depth bucket (+ splat refinement slack);
+    # the packed key uses a FIXED 21/10 idx/bucket bit split (see splat.py)
+    inv_step = 20.0 / ((1 << 10) - 1)
     tol = np.maximum(de * de * inv_step + 5e-3, 5e-3)
     assert (np.abs(de - dp) <= tol).mean() > 0.995
 
