@@ -330,15 +330,38 @@ def optimise(
 def apply_to_map(data: jnp.ndarray, count: jnp.ndarray, graph: DeformGraph) -> jnp.ndarray:
     """Deform every live surfel's position+normal (the GPU half of the
     reference's pipeline: `copy_unstable.vert:150-320` applies the serialised
-    rawGraph to all map surfels during clean)."""
-    pts = data[:-1, sm.POS]
-    nrm = data[:-1, sm.NORMAL]
-    times = data[:-1, sm.INIT_TIME]
-    alive = (data[:-1, sm.CONF] > 0) & (jnp.arange(data.shape[0] - 1) < count)
-    new_p, new_n = deform_points(graph, pts, times, nrm)
-    data = data.at[:-1, sm.POS].set(jnp.where(alive[:, None], new_p, pts))
-    data = data.at[:-1, sm.NORMAL].set(jnp.where(alive[:, None], new_n, nrm))
-    return data
+    rawGraph to all map surfels during clean).
+
+    Processed in row CHUNKS: `deform_points` materialises [P, LOOKBACK, 3]
+    candidate tensors whose 3-wide minor dim pads to 128 lanes on TPU —
+    ~12 KB per surfel.  Applied to the whole map at once that transient is
+    12 GB at 1M rows and a 40 GB compile-time OOM at the reference's
+    multi-million-surfel capacities; chunking bounds it at ~0.8 GB."""
+
+    def deform_block(blk, start):
+        pts = blk[:, sm.POS]
+        nrm = blk[:, sm.NORMAL]
+        times = blk[:, sm.INIT_TIME]
+        idx = start + jnp.arange(blk.shape[0])
+        alive = (blk[:, sm.CONF] > 0) & (idx < count)
+        new_p, new_n = deform_points(graph, pts, times, nrm)
+        blk = blk.at[:, sm.POS].set(jnp.where(alive[:, None], new_p, pts))
+        blk = blk.at[:, sm.NORMAL].set(jnp.where(alive[:, None], new_n, nrm))
+        return blk
+
+    N = data.shape[0] - 1
+    CH = 1 << 16
+    if N <= CH or N % CH != 0:
+        blk = deform_block(data[:-1], jnp.int32(0))
+        return data.at[:-1].set(blk)
+
+    def body(i, d):
+        start = i * CH
+        blk = jax.lax.dynamic_slice(d, (start, 0), (CH, sm.COLS))
+        blk = deform_block(blk, start)
+        return jax.lax.dynamic_update_slice(d, blk, (start, 0))
+
+    return jax.lax.fori_loop(0, N // CH, body, data)
 
 
 def empty_graph(max_nodes: int) -> DeformGraph:
