@@ -570,10 +570,19 @@ class SparseTracker:
 
         KP = kps[0].uv.shape[0]
         P_CAP = KP  # at most one track per seed keypoint slot
-        m_all = [np.asarray(match(kps[i - 1], kps[i])[0]) for i in range(1, W)]
-        uvs = [np.asarray(k.uv) for k in kps]
-        deps = [np.asarray(k.depth) for k in kps]
-        vals = [np.asarray(k.valid) for k in kps]
+        # ONE batched device->host transfer for everything the host-side
+        # track builder needs — sequential np.asarray calls here were ~24
+        # pipeline-draining round trips per BA run (the dominant cost of
+        # hybrid mode through a tunnelled TPU)
+        m_dev = jnp.stack([match(kps[i - 1], kps[i])[0] for i in range(1, W)])
+        uv_dev = jnp.stack([k.uv for k in kps])
+        d_dev = jnp.stack([k.depth for k in kps])
+        v_dev = jnp.stack([k.valid for k in kps])
+        m_np, uv_np, d_np, v_np = jax.device_get((m_dev, uv_dev, d_dev, v_dev))
+        m_all = [m_np[i] for i in range(W - 1)]
+        uvs = [uv_np[i] for i in range(W)]
+        deps = [d_np[i] for i in range(W)]
+        vals = [v_np[i] for i in range(W)]
 
         track_ids = [np.full(KP, -1, np.int32) for _ in range(W)]
         points = np.zeros((P_CAP, 3), np.float32)
