@@ -351,7 +351,7 @@ def apply_to_map(data: jnp.ndarray, count: jnp.ndarray, graph: DeformGraph) -> j
 
     N = data.shape[0] - 1
     CH = 1 << 16
-    if N <= CH or N % CH != 0:
+    if N <= CH:
         blk = deform_block(data[:-1], jnp.int32(0))
         return data.at[:-1].set(blk)
 
@@ -361,7 +361,14 @@ def apply_to_map(data: jnp.ndarray, count: jnp.ndarray, graph: DeformGraph) -> j
         blk = deform_block(blk, start)
         return jax.lax.dynamic_update_slice(d, blk, (start, 0))
 
-    return jax.lax.fori_loop(0, N // CH, body, data)
+    data = jax.lax.fori_loop(0, N // CH, body, data)
+    rem = N % CH  # static partial tail block — any capacity stays chunked
+    if rem:
+        start = (N // CH) * CH
+        blk = jax.lax.dynamic_slice(data, (start, 0), (rem, sm.COLS))
+        blk = deform_block(blk, jnp.int32(start))
+        data = jax.lax.dynamic_update_slice(data, blk, (start, 0))
+    return data
 
 
 def empty_graph(max_nodes: int) -> DeformGraph:

@@ -30,6 +30,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from densemonoslam_tpu.config import CameraIntrinsics
 from densemonoslam_tpu.mapping import surfel_map as sm
@@ -42,6 +43,48 @@ MODE_ALL = 2
 
 _BIG_INDEX = jnp.int32(2**30)
 _FAR = jnp.float32(1e9)
+
+# int32 view of the 0.05 m near-plane float (the z gate floor): positive IEEE
+# floats compare identically as ints, so truncated (bits(z) - floor) is a
+# monotone RELATIVE-precision depth key
+_Z_FLOOR_BITS = int(np.float32(0.05).view(np.int32))
+
+
+def packed_key_params(
+    n_rows: int, depth_max: float, windowed: bool
+) -> tuple[int, int] | None:
+    """Static (idx_bits, shift) layout of the packed z-buffer key, or None when
+    the exact two-scatter path must be used.
+
+    The key is `depth_key * 2^idx_bits + idx` with
+    `depth_key = (bitcast_i32(z) - bitcast_i32(0.05)) >> shift` — positive
+    float bits are monotone in value, so truncating mantissa bits yields a
+    RELATIVE-precision bucket: the scatter-min tie-break can prefer a surfel at
+    most `z * 2^(shift-23)` farther than the true nearest (vs the quadratic
+    `z^2 * dinv` blow-up of inverse-depth buckets, which reached metres at
+    street/KITTI ranges).
+
+    idx_bits: windowed passes derive it from the window size (which is
+    capacity-independent); full-map passes always use the 21-bit cap so two
+    maps holding the same surfels at different capacities <= 2^21 compare the
+    same lexicographic (depth_key, idx) and pick bit-identical winners
+    (capacity invariance).  shift then uses whatever bits remain, refusing the
+    packed path (-> exact) when the relative error would exceed 2^-6 ~ 1.6%.
+    """
+    if n_rows > (1 << 21):
+        return None
+    if windowed:
+        idx_bits = max(int(np.ceil(np.log2(max(n_rows, 2)))), 1)
+    else:
+        idx_bits = 21
+    span = int(np.float32(min(depth_max, 1e9)).view(np.int32)) - _Z_FLOOR_BITS
+    shift = max(0, int(span).bit_length() - (31 - idx_bits))
+    if shift > 17:  # relative tie-break error 2^(shift-23) would exceed ~1.6%
+        return None
+    max_key = ((span >> shift) + 1) * (1 << idx_bits) + (n_rows - 1)
+    if max_key >= np.iinfo(np.int32).max:
+        return None
+    return idx_bits, shift
 
 
 class Prediction(NamedTuple):
@@ -82,6 +125,7 @@ def active_window_start(
     jax.jit,
     static_argnames=(
         "intr", "width", "height", "splat_k", "mode", "window", "packed_zbuffer",
+        "depth_max",  # static: the packed-key layout is derived from it
     ),
 )
 def render(
@@ -148,34 +192,23 @@ def render(
     ok = visible & inb
     tid = jnp.where(ok, vi * width + ui, HW)
 
-    if packed_zbuffer and n_rows <= (1 << 21):
-        # phase 1+2 fused: ONE scatter-min of a packed (inverse-depth bucket,
-        # index) key — scatters serialise per update on TPU, so halving the
-        # scatter count halves the dominant render cost.  The bucket only
-        # decides the winner among near-coincident surfels (the output depth
-        # is the winner's EXACT z, gathered in phase 3); bucket width at
-        # depth z is ~z^2 * depth_max/2^z_bits metres.  Applies to windowed
-        # AND full-map passes (the INACTIVE loop-closure renders) whenever
-        # the row count fits the FIXED 21 index bits — fixed, not
-        # capacity-derived, so two maps holding the same surfels at
-        # different capacities produce bit-identical renders
-        # (capacity-invariance); larger maps (32M capacity) fall back to
-        # the exact two-scatter path.
-        idx_bits = 21
-        z_bits = 31 - idx_bits
-        n_buckets = (1 << z_bits) - 1
-        inv = 1.0 / jnp.maximum(z, 1e-3)
-        inv_max = 1.0 / 0.05  # z floor already gated at 0.05
-        # q >= 1 keeps every valid key strictly below INT32_MAX: a q=0 surfel
-        # at the top window index would hit exactly (n_buckets)*2^idx_bits +
-        # (2^idx_bits - 1) = INT32_MAX and be misread as "no winner".  The
-        # bucket quantisation means the tie-break can prefer a surfel up to
-        # ~z^2 * inv_max / n_buckets metres farther than the true nearest —
-        # far below DEPTH_GATE (5 cm) for any idx_bits <= 21, so association
-        # gates are unaffected.
-        q = jnp.clip((inv * (n_buckets / inv_max)).astype(jnp.int32), 1, n_buckets)
-        key = (n_buckets - q) * (1 << idx_bits) + idx
-        i32_max = jnp.iinfo(jnp.int32).max  # keys span the full int32 range
+    pkp = packed_key_params(n_rows, depth_max, windowed) if packed_zbuffer else None
+    if pkp is not None:
+        # phase 1+2 fused: ONE scatter-min of a packed (depth-bucket, index)
+        # key — scatters serialise per update on TPU, so halving the scatter
+        # count halves the dominant render cost.  The bucket is the truncated
+        # float32 bit pattern of z (monotone for positive floats), so it only
+        # decides the winner among surfels within a RELATIVE z * 2^(shift-23)
+        # band (<= ~1.6%; the output depth is the winner's EXACT z, gathered
+        # in phase 3) — see `packed_key_params` for the static layout rules
+        # and the capacity-invariance argument.  Larger maps (32M capacity)
+        # fall back to the exact two-scatter path.
+        idx_bits, z_shift = pkp
+        zc = jnp.clip(z, 0.05, depth_max).astype(jnp.float32)
+        zbits = jax.lax.bitcast_convert_type(zc, jnp.int32)
+        depth_key = (zbits - _Z_FLOOR_BITS) >> z_shift
+        key = depth_key * (1 << idx_bits) + idx
+        i32_max = jnp.iinfo(jnp.int32).max
         kbuf = jnp.full((HW + 1,), i32_max, jnp.int32).at[tid].min(
             jnp.where(ok, key, i32_max)
         )

@@ -329,10 +329,11 @@ def test_packed_zbuffer_close_to_exact(seq):
     both = cov_e & cov_p
     de = np.asarray(exact.depth)[both]
     dp = np.asarray(packed.depth)[both]
-    # winner depth within an inverse-depth bucket (+ splat refinement slack);
-    # the packed key uses a FIXED 21/10 idx/bucket bit split (see splat.py)
-    inv_step = 20.0 / ((1 << 10) - 1)
-    tol = np.maximum(de * de * inv_step + 5e-3, 5e-3)
+    # winner depth within one float-bit depth bucket (+ splat refinement
+    # slack); the packed key's tie-break error is RELATIVE: z * 2^(shift-23)
+    # (see splat.packed_key_params)
+    _, shift = splat.packed_key_params(window, 100.0, windowed=True)
+    tol = np.maximum(de * 2.0 ** (shift - 23) + 5e-3, 5e-3)
     assert (np.abs(de - dp) <= tol).mean() > 0.995
 
 
