@@ -77,6 +77,50 @@ def init_state(n_cams: int, num_ferns: int = 500) -> IntermapState:
     return out._replace(map_id=jnp.arange(n_cams, dtype=jnp.int32))
 
 
+def fern_insert(
+    ist: IntermapState,
+    code: jnp.ndarray,  # [F] i32
+    pose: jnp.ndarray,  # [4,4]
+    t_now: jnp.ndarray,  # [] f32
+    fern_thresh: float,
+) -> IntermapState:
+    """Novelty-gated keyframe insert into ONE camera's on-device fern DB
+    (no leading cam axis).
+
+    Full DB: EVICT the most redundant entry (min NN-dissimilarity to another
+    stored entry) instead of freezing — mirrors the host DB's eviction
+    (`ferns.add_frame evict`); the reference's keyframe vector is unbounded
+    (`Ferns.h:76-89`), so place recognition must keep learning new places on
+    long collaborative sessions."""
+    k = jnp.arange(FERN_K)
+    dis_own = jnp.where(
+        k < ist.count,
+        jnp.mean((ist.codes != code[None]).astype(jnp.float32), -1),
+        1.0,
+    )
+    min_dis = jnp.min(dis_own)
+    add = (min_dis > fern_thresh) | (ist.count == 0)
+    full = ist.count >= FERN_K
+    pair = jnp.mean(
+        (ist.codes[:, None, :] != ist.codes[None, :, :]).astype(jnp.float32),
+        -1,
+    )  # [K, K]
+    stored = k < ist.count
+    pair = jnp.where(
+        (k[:, None] != k[None, :]) & stored[:, None] & stored[None, :],
+        pair, jnp.inf,
+    )
+    redundancy = jnp.min(pair, axis=1)  # low = near-duplicate of another
+    slot = jnp.where(full, jnp.argmin(redundancy), ist.count)
+    sel = (k == slot) & add
+    return ist._replace(
+        codes=jnp.where(sel[:, None], code[None], ist.codes),
+        poses=jnp.where(sel[:, None, None], pose[None], ist.poses),
+        times=jnp.where(sel, t_now, ist.times),
+        count=jnp.minimum(ist.count + add.astype(jnp.int32), FERN_K),
+    )
+
+
 class MergeInfo(NamedTuple):
     merged: jnp.ndarray  # [] bool — did a merge happen this round
     src_map: jnp.ndarray  # [] i32
@@ -88,6 +132,7 @@ class MergeInfo(NamedTuple):
     # per-camera verification stats [n_cams, 4]:
     # (proposing, inlier_frac, icp_error, best_dissim)
     stats: jnp.ndarray
+    dropped: jnp.ndarray  # [] i32 rows lost to capacity in a consume append
 
 
 def make_intermap_round(
@@ -129,23 +174,7 @@ def make_intermap_round(
         d8 = fernmod.downsample_for_ferns(depth, fern_factor)
         code = fernmod.encode(coder, rgb8, d8)
         k = jnp.arange(FERN_K)
-        dis_own = jnp.where(
-            k < ist.count,
-            jnp.mean((ist.codes != code[None]).astype(jnp.float32), -1),
-            1.0,
-        )
-        min_dis = jnp.min(dis_own)
-        add = ((min_dis > cfg.fern_thresh) | (ist.count == 0)) & (
-            ist.count < FERN_K
-        )
-        slot = jnp.where(add, ist.count, FERN_K - 1)
-        sel = (k == slot) & add
-        ist = ist._replace(
-            codes=jnp.where(sel[:, None], code[None], ist.codes),
-            poses=jnp.where(sel[:, None, None], state.pose[None], ist.poses),
-            times=jnp.where(sel, t_now, ist.times),
-            count=ist.count + add.astype(jnp.int32),
-        )
+        ist = fern_insert(ist, code, state.pose, t_now, cfg.fern_thresh)
 
         # ---- 2. propose against other maps' keyframes --------------------
         codes_all = jax.lax.all_gather(ist.codes, "cam")  # [n, K, F]
@@ -298,6 +327,7 @@ def make_intermap_round(
         )
         ist = ist._replace(map_id=new_map_id, poses=new_fern_poses)
 
+        dropped = jnp.array(0, jnp.int32)
         if consume:
             # physical consumeReferenceFrame: route the winning requester's
             # rows to its target and append; the source camera's map empties.
@@ -312,24 +342,54 @@ def make_intermap_round(
                 data, count = op
                 m = sm.SurfelMap(data=data, count=count)
                 valid = routed[:, sm.CONF] > 0
+                n_valid = jnp.sum(valid.astype(jnp.int32))
+                room = jnp.maximum(m.capacity - m.count, 0)
                 m = sm.append_surfels(m, routed, valid)
-                return m.data, m.count
+                # capacity overflow is surfaced, not silent (engine.merge_into
+                # parity): rows past capacity landed in the dump slot
+                return m.data, m.count, jnp.maximum(n_valid - room, 0)
 
             def clear(op):
                 data, _count = op
                 return (
                     jnp.zeros_like(data), jnp.array(0, jnp.int32),
+                    jnp.array(0, jnp.int32),
                 )
 
             def keep(op):
-                return op
+                data, count = op
+                return data, count, jnp.array(0, jnp.int32)
 
-            data2, count2 = jax.lax.cond(
+            data2, count2, dropped_local = jax.lax.cond(
                 is_dst_cam, absorb,
                 lambda op: jax.lax.cond(is_src_cam, clear, keep, op),
                 (state.map_data, state.map_count),
             )
+            dropped = jax.lax.psum(dropped_local, "cam")  # replicated
             state = state._replace(map_data=data2, map_count=count2)
+            # the source camera's map moved away: its fern keyframes now
+            # advertise views whose surfels live on the destination device,
+            # and its next render is empty — clear the DB so it re-learns
+            # places in the merged frame, and let the bootstrap path reseed
+            # its (empty) map from the next live frame (model_age is already
+            # invalidated above)
+            ist = jax.tree.map(
+                lambda cur, init: jnp.where(
+                    jnp.broadcast_to(
+                        is_src_cam.reshape((1,) * cur.ndim), cur.shape
+                    ),
+                    init, cur,
+                ),
+                ist,
+                ist._replace(
+                    codes=jnp.zeros_like(ist.codes),
+                    poses=jnp.broadcast_to(
+                        jnp.eye(4, dtype=jnp.float32), ist.poses.shape
+                    ),
+                    times=jnp.full_like(ist.times, -1.0),
+                    count=jnp.zeros_like(ist.count),
+                ),
+            )
 
         info = MergeInfo(
             merged=any_merge,
@@ -348,6 +408,7 @@ def make_intermap_round(
                 ),
                 "cam",
             ),
+            dropped=dropped,
         )
         out_state = jax.tree.map(lambda v: v[None], state)
         out_ist = jax.tree.map(lambda v: v[None], ist)

@@ -544,10 +544,12 @@ class SparseTracker:
         are tracked through consecutive keyframe matches across the last
         `local_ba_window` keyframes, initialised by depth backprojection at
         their first observation, and jointly refined with the window poses by
-        Schur-complement BA (`parallel.ba.bundle_adjust`).  The first two
-        window cameras are pinned (6-DoF gauge + scale); refined poses are
-        written back to the keyframes, the odometry edges between them, and
-        the live pose."""
+        Schur-complement BA (`parallel.ba.bundle_adjust`).  The first window
+        camera is pinned (6-DoF gauge); scale stays observable with a single
+        pin because every track's seed observation carries measured depth
+        (the z residuals of the RGB-D BA) and depthless tracks never open.
+        Refined poses are written back to the keyframes, the odometry edges
+        between them, and the live pose."""
         from densemonoslam_tpu.parallel import ba
 
         W = min(self.local_ba_window, len(self.keyframes))
@@ -591,7 +593,10 @@ class SparseTracker:
         cx, cy = self.intr.cx, self.intr.cy
         for i in range(W - 1):
             m = m_all[i]
-            fwd = (m >= 0) & vals[i]
+            # a match only extends a track when BOTH endpoints are valid
+            # keypoint slots — stale uv/depth from invalid slots in frame i+1
+            # must not enter the BA problem
+            fwd = (m >= 0) & vals[i] & vals[i + 1][np.maximum(m, 0)]
             # propagate live tracks to the next keyframe
             has_id = fwd & (track_ids[i] >= 0)
             track_ids[i + 1][m[has_id]] = track_ids[i][has_id]
@@ -628,7 +633,7 @@ class SparseTracker:
         valid = np.zeros((O_CAP,), bool)
         o = 0
         for i in range(W):
-            sel = np.where(track_ids[i] >= 0)[0]
+            sel = np.where((track_ids[i] >= 0) & vals[i])[0]
             n = sel.size
             cam_idx[o : o + n] = i
             pnt_idx[o : o + n] = track_ids[i][sel]

