@@ -134,7 +134,40 @@ def _run_mono_street():
     )
     fe.sparse_tracker.pose = np.asarray(fe.state.pose)
     frames = [seq.frame(i)[0] for i in range(n)]  # host render pre-paid
-    warm = 12
+    # pre-warm programs that otherwise first COMPILE mid-sequence (the
+    # persistent cache makes this a once-per-machine cost, but the first
+    # bench on a fresh machine must not count compiles as frame time):
+    # the hybrid-loop deformation program and a lap-scale PGO solve.  Both
+    # are pure functions of throwaway inputs — engine state is untouched.
+    from densemonoslam_tpu import loops as loopsmod
+    from densemonoslam_tpu.parallel import ba as bamod
+    import jax.numpy as jnp
+
+    hl = loopsmod._make_hybrid_loop(
+        seq.camera.intrinsics, seq.camera.resolution.width,
+        seq.camera.resolution.height, cfg,
+    )
+    jax.block_until_ready(
+        hl(fe.state, jnp.eye(4, dtype=jnp.float32), loopsmod.make_rel_bank())[1]
+    )
+    for kcap in (256, 512):  # kf counts a 520-frame lap plausibly reaches
+        jax.block_until_ready(
+            bamod.optimise_pose_graph(
+                jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (kcap, 4, 4)),
+                bamod.PoseGraphEdges(
+                    i=jnp.zeros((kcap,), jnp.int32),
+                    j=jnp.ones((kcap,), jnp.int32),
+                    Z=jnp.broadcast_to(
+                        jnp.eye(4, dtype=jnp.float32), (kcap, 4, 4)
+                    ),
+                    weight=jnp.ones((kcap,), jnp.float32),
+                ),
+                cg_iters=128,
+            )[1]
+        )
+    # warm replay long enough that the BA window shapes (kf 3..6) and the
+    # first periodic compaction (tick 64) have all executed once
+    warm = 70
     for i in range(warm):
         eng.process_frame("cam0", frames[i], None, float(i), sync=False)
     jax.block_until_ready(fe.state.map_data)

@@ -33,6 +33,15 @@ import jax as _jax
 # precision='default' per-op.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent XLA compilation cache: several pipeline programs (compaction at
+# multi-million-row capacity, bundle adjustment, loop closures) cost 5-15 s
+# EACH to compile and first run mid-sequence — the cache makes that a
+# once-per-machine cost instead of a live-pipeline stall.  DMS_JAX_CACHE=0
+# opts out.
+from densemonoslam_tpu.utils import jax_cache as _jax_cache
+
+_jax_cache.enable()
+
 from densemonoslam_tpu.config import (
     CameraIntrinsics,
     EngineConfig,

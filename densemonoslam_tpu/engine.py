@@ -38,6 +38,15 @@ from densemonoslam_tpu.utils.timer import Stopwatch
 _HIST_INITIAL_CAP = 1024
 
 
+@jax.jit
+def _intensity_and_depth(rgb, depth_raw, depth_factor):
+    """One fused device program for the per-frame conversions (luma +
+    metric depth) — replaces several eager channel-slice dispatches."""
+    r = rgb.astype(jnp.float32)
+    inten = 0.299 * r[..., 0] + 0.587 * r[..., 1] + 0.114 * r[..., 2]
+    return inten, depth_raw.astype(jnp.float32) / depth_factor
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _hist_append(hist, times, poses, idxs, ts):
     """Record a BATCH of poses in the device pose history.
@@ -392,6 +401,12 @@ class Engine:
         fe = self.frontends[name]
         t0 = self.timer.tick("frame_dispatch")
         cfg = self.config
+        # upload the frame ONCE; every consumer below (depth CNN, sparse
+        # tracker intensity, dense step, fern encode) reuses the device copy
+        # — per-channel host slices were 3 extra ~0.4 MB transfers per frame
+        rgb = jnp.asarray(rgb)
+        if depth_raw is not None:
+            depth_raw = jnp.asarray(depth_raw, jnp.float32)
         if depth_raw is None:
             # monocular: the depth CNN supplies depth BEFORE tracking
             # (reference order: DepthPrediction::predict then TrackRGBD,
@@ -401,7 +416,7 @@ class Engine:
                     "no depth given and no depth predictor attached "
                     "(set predict_depth=True and call set_depth_predictor)"
                 )
-            depth_raw = self._depth_predictor.predict(jnp.asarray(rgb))
+            depth_raw = self._depth_predictor.predict(rgb)
         sparse_pose_dev = sparse_ok_dev = None
         if cfg.orb_tracking and in_pose is None:
             # hybrid mode: the sparse tracker supplies the pose (reference
@@ -414,12 +429,7 @@ class Engine:
 
                 fe.sparse_tracker = SparseTracker(fe.camera.intrinsics)
                 fe.sparse_tracker.pose = np.asarray(fe.state.pose)
-            inten = (
-                0.299 * jnp.asarray(rgb[..., 0], jnp.float32)
-                + 0.587 * jnp.asarray(rgb[..., 1], jnp.float32)
-                + 0.114 * jnp.asarray(rgb[..., 2], jnp.float32)
-            )
-            d_m = jnp.asarray(depth_raw, jnp.float32) / cfg.depth_factor
+            inten, d_m = _intensity_and_depth(rgb, depth_raw, cfg.depth_factor)
             sparse_pose_dev, sparse_ok_dev = fe.sparse_tracker.track(inten, d_m)
             ev = fe.sparse_tracker.pop_pgo_event()
             pgo_rewrote = ev is not None
@@ -489,6 +499,14 @@ class Engine:
         fe.ts_log.append(timestamp)
         fe.stats_log.append(stats)
         fe.tick += 1
+        # bounded pacing: cap the async queue at ~8 frames by waiting on a
+        # LONG-FINISHED frame's stats.  A free-running host queues unbounded
+        # work and throughput collapses (measured 432 vs 205 ms/frame on the
+        # tunnelled chip); waiting on t-8 costs nothing in steady state (it
+        # already executed) but back-pressures the host when the device falls
+        # behind.
+        if fe.tick % 4 == 0 and len(fe.stats_log) > 8:
+            jax.block_until_ready(fe.stats_log[-8])
         self.timer.tock("frame_dispatch", t0)
         if fe.tick % self._compact_interval == 0:
             # reclaims culled slots AND re-partitions [inactive..., active...]
@@ -545,11 +563,8 @@ class Engine:
             tracking_healthy = not (
                 cfg.relocalisation and (fe.lost or fe.consecutive_bad > 0)
             )
-            depth_m = jnp.asarray(depth_raw, jnp.float32) / cfg.depth_factor
-            intensity = (
-                0.299 * jnp.asarray(rgb[..., 0], jnp.float32)
-                + 0.587 * jnp.asarray(rgb[..., 1], jnp.float32)
-                + 0.114 * jnp.asarray(rgb[..., 2], jnp.float32)
+            intensity, depth_m = _intensity_and_depth(
+                rgb, depth_raw, cfg.depth_factor
             )
             if tracking_healthy:
                 # the reference only encodes fern keyframes on well-tracked

@@ -164,6 +164,52 @@ def _blend_weights(
     return nn, w
 
 
+def _blend_weights_full(
+    graph: DeformGraph, points: jnp.ndarray, times: jnp.ndarray
+) -> jnp.ndarray:
+    """[P, K] dense k-NN blending weights (zero outside the k nearest of the
+    temporal look-back window) — the matmul-friendly form of
+    `_blend_weights`.
+
+    Distances to ALL K nodes come from ONE [P,3]x[3,K] matmul (MXU) with the
+    temporal window applied as a mask; the per-point candidate GATHER of the
+    old form cost ~20 fetched rows per surfel and dominated whole-map
+    deformation (measured 1.9 s at a 2M-surfel map — gathers price per row
+    fetched, matmuls don't)."""
+    n_valid = jnp.sum(graph.valid.astype(jnp.int32))
+    ins = jnp.searchsorted(graph.time, times, side="right")
+    start = jnp.clip(ins - LOOKBACK, 0, jnp.maximum(n_valid - LOOKBACK, 0))
+    K = graph.n_nodes
+    j = jnp.arange(K)
+    mask = (
+        (j[None, :] >= start[:, None])
+        & (j[None, :] < start[:, None] + LOOKBACK)
+        & (j[None, :] < n_valid)
+        & graph.valid[None, :]
+    )
+    d2 = (
+        jnp.sum(points * points, axis=-1, keepdims=True)
+        - 2.0 * points @ graph.pos.T
+        + jnp.sum(graph.pos * graph.pos, axis=-1)[None, :]
+    )
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+    d = jnp.where(mask, d, jnp.inf)
+    # k+1 nearest for the dmax normaliser (Sumner's weights)
+    neg, top_idx = jax.lax.top_k(-d, K_NEIGHBOURS + 1)
+    dk = -neg  # [P, k+1] ascending distances
+    dmax = jnp.maximum(dk[:, -1:], 1e-6)
+    w = jnp.square(1.0 - dk[:, :-1] / dmax)
+    w = jnp.where(jnp.isfinite(dk[:, :-1]), w, 0.0)
+    wsum = jnp.sum(w, axis=-1, keepdims=True)
+    has = wsum[:, 0] > 1e-9
+    w = jnp.where(has[:, None], w / jnp.maximum(wsum, 1e-9), 0.0)
+    # scatter the k weights into dense [P, K] rows via one-hot compares
+    w_full = jnp.zeros((points.shape[0], K), jnp.float32)
+    for q in range(K_NEIGHBOURS):
+        w_full = w_full + (j[None, :] == top_idx[:, q][:, None]) * w[:, q][:, None]
+    return w_full
+
+
 def deform_points(
     graph: DeformGraph,
     points: jnp.ndarray,
@@ -171,20 +217,26 @@ def deform_points(
     normals: jnp.ndarray | None = None,
 ):
     """phi(p) = sum_k w_k [A_k (p - g_k) + g_k + t_k]; points with no valid
-    support pass through unchanged.  Optionally co-rotates normals."""
-    nn, w = _blend_weights(graph, points, times)
-    g = graph.pos[nn]  # [P, k, 3]
-    A = graph.A[nn]  # [P, k, 3, 3]
-    t = graph.t[nn]
-    local = points[:, None, :] - g
-    moved = jnp.einsum("pkij,pkj->pki", A, local) + g + t
-    out = jnp.sum(w[..., None] * moved, axis=1)
-    has = jnp.sum(w, axis=-1) > 1e-9
+    support pass through unchanged.  Optionally co-rotates normals.
+
+    Evaluated in the matmul form
+    ``phi(p) = (sum_k w_k A_k) p + sum_k w_k (g_k + t_k - A_k g_k)``:
+    both sums are [P,K] x [K,*] products of the dense blending weights with
+    per-NODE tables — everything lands on the MXU and per-point node
+    gathers disappear (they dominated whole-map deformation; see
+    `_blend_weights_full`)."""
+    w_full = _blend_weights_full(graph, points, times)
+    K = graph.n_nodes
+    A_blend = (w_full @ graph.A.reshape(K, 9)).reshape(-1, 3, 3)
+    # per-node constant term c_k = g_k + t_k - A_k g_k
+    c = graph.pos + graph.t - jnp.einsum("kij,kj->ki", graph.A, graph.pos)
+    b = w_full @ c
+    out = jnp.einsum("pij,pj->pi", A_blend, points) + b
+    has = jnp.sum(w_full, axis=-1) > 1e-9
     out = jnp.where(has[:, None], out, points)
     if normals is None:
         return out
-    n_rot = jnp.einsum("pkij,pj->pki", A, normals)
-    n_out = jnp.sum(w[..., None] * n_rot, axis=1)
+    n_out = jnp.einsum("pij,pj->pi", A_blend, normals)
     n_out = n_out / jnp.maximum(jnp.linalg.norm(n_out, axis=-1, keepdims=True), 1e-9)
     n_out = jnp.where(has[:, None], n_out, normals)
     return out, n_out
@@ -326,17 +378,49 @@ def optimise(
     return out, OptimiseStats(initial_error=e0, final_error=e1, mean_cons_error=ce)
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 @functools.partial(jax.jit, donate_argnames=("data",))
 def apply_to_map(data: jnp.ndarray, count: jnp.ndarray, graph: DeformGraph) -> jnp.ndarray:
     """Deform every live surfel's position+normal (the GPU half of the
     reference's pipeline: `copy_unstable.vert:150-320` applies the serialised
     rawGraph to all map surfels during clean).
 
-    Processed in row CHUNKS: `deform_points` materialises [P, LOOKBACK, 3]
-    candidate tensors whose 3-wide minor dim pads to 128 lanes on TPU —
-    ~12 KB per surfel.  Applied to the whole map at once that transient is
-    12 GB at 1M rows and a 40 GB compile-time OOM at the reference's
-    multi-million-surfel capacities; chunking bounds it at ~0.8 GB."""
+    On TPU this is ONE Pallas kernel (`ops.pallas.deform`): the [P, K]
+    distance/weight tensors live and die in VMEM per point block, so HBM
+    traffic is inputs + outputs only — measured 3.3x over the best XLA
+    lowering at a 4M-row map (600 -> 181 ms), which either gathers per
+    candidate or materialises 4 GB [P, K] buffers.
+
+    The XLA fallback (CPU tests, non-TPU platforms) processes row CHUNKS:
+    `deform_points` materialises [chunk, K] weight tensors, and chunking
+    bounds the transient (the whole-map form was a 40 GB compile-time OOM
+    at the reference's multi-million-surfel capacities)."""
+    if _on_tpu():
+        from densemonoslam_tpu.ops.pallas.deform import deform_soa_pallas
+
+        rows = data[:-1]
+        pts_T = jnp.stack([rows[:, 0], rows[:, 1], rows[:, 2]])
+        nrm_T = jnp.stack([rows[:, 8], rows[:, 9], rows[:, 10]])
+        new_p, new_n = deform_soa_pallas(
+            graph.pos, graph.time, graph.valid, graph.A, graph.t,
+            pts_T, rows[:, sm.INIT_TIME], nrm_T,
+        )
+        idx = jnp.arange(rows.shape[0])
+        alive = (rows[:, sm.CONF] > 0) & (idx < count)
+        for c in range(3):
+            data = data.at[:-1, sm.POS.start + c].set(
+                jnp.where(alive, new_p[c], rows[:, sm.POS.start + c])
+            )
+            data = data.at[:-1, sm.NORMAL.start + c].set(
+                jnp.where(alive, new_n[c], rows[:, sm.NORMAL.start + c])
+            )
+        return data
 
     def deform_block(blk, start):
         pts = blk[:, sm.POS]

@@ -132,18 +132,28 @@ def fuse_window(
     time_delta: int = 200,
     cluster_id: jnp.ndarray | float = 0.0,
     depth_gate_rel: float = 0.0,
+    pack_sorted: bool = False,
 ):
     """The window-level fusion core: association + weighted update + inline
     clean + new-row packing, WITHOUT touching the full map tensor.
 
-    Returns ``(blk, packed, n_want, matched, culled)`` where `blk` is the
-    updated row block, `packed` the [HW,16] new-surfel rows sorted new-first
-    and `n_want` how many are real.  Callers place these with
+    Returns ``(blk, packed, rank, n_want, matched, culled)`` where `blk` is
+    the updated row block, `packed` the [HW,16] candidate new-surfel rows,
+    `rank` [HW] i32 each row's insertion rank (scanline-stable; -1 = not a
+    new surfel) and `n_want` how many are real.  Callers place these with
     `place_updates` — keeping the full-capacity buffer out of this function
     (and out of any `lax.cond` wrapping it) lets XLA alias the big tensor
     through plain dynamic_update_slice ops, so per-frame cost stays bound by
     the window even at the reference's 32.5M-surfel capacity (a conditional
-    that *returns* the map forces full-buffer copies that scale with N)."""
+    that *returns* the map forces full-buffer copies that scale with N).
+
+    `pack_sorted=False` (the default) leaves `packed` in pixel order and the
+    placement is ONE row scatter keyed on `rank` — an argsort over HW rows
+    costs ~5 ms at 1024x320 and the scatter replaces it outright.  Callers
+    that must TRUNCATE `packed` before placing (map capacity < HW: the
+    truncation would drop real new rows from arbitrary pixels) pass
+    `pack_sorted=True` to get the old new-rows-first stable sort, with
+    `rank` built positionally so the same placement code works on both."""
     H, W, _ = vmap_c.shape
     HW = H * W
     t_now = jnp.asarray(time, jnp.float32)
@@ -302,10 +312,18 @@ def fuse_window(
         jnp.asarray(cluster_id, jnp.float32)
     )
 
-    order = jnp.argsort(~is_new, stable=True)  # new pixels first
-    packed = new_rows[order]
     n_want = jnp.sum(is_new.astype(jnp.int32))
-    return blk, packed, n_want, jnp.sum(matched.astype(jnp.int32)), culled
+    if pack_sorted:
+        order = jnp.argsort(~is_new, stable=True)  # new pixels first
+        packed = new_rows[order]
+        i = jnp.arange(HW)
+        rank = jnp.where(i < n_want, i, -1).astype(jnp.int32)
+    else:
+        packed = new_rows
+        rank = jnp.where(
+            is_new, jnp.cumsum(is_new.astype(jnp.int32)) - 1, -1
+        ).astype(jnp.int32)
+    return blk, packed, rank, n_want, jnp.sum(matched.astype(jnp.int32)), culled
 
 
 def place_updates(
@@ -313,32 +331,25 @@ def place_updates(
     count: jnp.ndarray,  # [] i32
     blk: jnp.ndarray,  # [n_rows, 16] updated block from fuse_window
     row_start: jnp.ndarray,  # [] i32 where blk goes
-    packed: jnp.ndarray,  # [HW, 16] new rows, real ones first
+    packed: jnp.ndarray,  # [S, 16] candidate new rows
     n_want: jnp.ndarray,  # [] i32 how many packed rows are real
+    rank: jnp.ndarray,  # [S] i32 insertion rank per row (-1 = not new)
 ):
-    """Write a fused block + append packed new rows into the map tensor.
+    """Write a fused block + append the frame's new rows into the map tensor.
 
-    Pure dynamic slice/update ops over the full buffer (alias-friendly —
-    keep these OUTSIDE any lax.cond; see `fuse_window`).  Returns
-    ``(data, new_count, n_new, dropped)``."""
+    Pure dynamic-update + ONE row scatter over the full buffer
+    (alias-friendly — keep these OUTSIDE any lax.cond; see `fuse_window`).
+    Appends land at ``count + rank`` so the result is bit-identical to the
+    old sort-then-contiguous-write path at any capacity; rows past the
+    headroom guard (and non-new rows) are routed to the dump slot (row N).
+    Returns ``(data, new_count, n_new, dropped)``."""
     N = data.shape[0] - 1
-    HW = packed.shape[0]
     data = jax.lax.dynamic_update_slice(data, blk, (row_start, 0))
     # headroom guard: drop the frame's insertions if the map is nearly full
     room = N - count
     n_new = jnp.minimum(n_want, jnp.maximum(room - 1, 0))
-    # contiguous write window [start, start+S); normally start == count, but
-    # near capacity the window is clamped and the first (count - start) rows
-    # are live — `keep` skips them and `roll` realigns the packed rows
-    S = min(HW, N)
-    start = jnp.clip(count, 0, N - S)
-    off = count - start
-    existing = jax.lax.dynamic_slice(data, (start, 0), (S, 16))
-    i_rows = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)[:, 0]
-    keep = (i_rows >= off) & (i_rows - off < n_new)
-    packed_roll = jnp.roll(packed[:S], off, axis=0)
-    blended = jnp.where(keep[:, None], packed_roll, existing)
-    data = jax.lax.dynamic_update_slice(data, blended, (start, 0))
+    dest = jnp.where((rank >= 0) & (rank < n_new), count + rank, N)
+    data = data.at[dest].set(packed)
     new_count = jnp.minimum(count + n_new, N).astype(jnp.int32)
     return data, new_count, n_new, n_want - n_new
 
@@ -383,7 +394,7 @@ def fuse_with_pred(
     else:
         start = jnp.array(0, jnp.int32)
         rows = m.data[:-1]
-    blk, packed, n_want, matched, culled = fuse_window(
+    blk, packed, rank, n_want, matched, culled = fuse_window(
         rows, start, m.count, pred, vmap_c, nmap_c, rgb_c, pose, intr, time,
         sensor=sensor, weight_mult=weight_mult, splat_k=splat_k,
         clean_depth=clean_depth, conf_threshold=conf_threshold,
@@ -391,7 +402,7 @@ def fuse_with_pred(
         cluster_id=cluster_id,
     )
     data, new_count, n_new, dropped = place_updates(
-        m.data, m.count, blk, start, packed, n_want
+        m.data, m.count, blk, start, packed, n_want, rank
     )
     m2 = sm.SurfelMap(data=data, count=new_count)
     stats = FuseStats(

@@ -278,7 +278,7 @@ def _schur_reduce(r, Jc, Jp, cam_idx, pnt_idx, K, Pn, damping):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("intr", "iters", "fix_cameras", "huber")
+    jax.jit, static_argnames=("intr", "iters", "fix_cameras", "huber", "pregate_px")
 )
 def bundle_adjust(
     problem: BAProblem,
@@ -287,6 +287,7 @@ def bundle_adjust(
     damping: float = 1e-4,
     fix_cameras: int = 1,
     huber: float = 0.0,
+    pregate_px: float = 0.0,
 ) -> Tuple[BAProblem, jnp.ndarray]:
     """Single-device Schur-complement BA.  Returns (problem, mean px error).
 
@@ -294,9 +295,15 @@ def bundle_adjust(
     projective-only problems (no depth) need 2 to also fix scale.
     `huber` > 0 applies a Huber IRLS weight (px) to each observation —
     required with real feature matches, whose outliers otherwise send the
-    quadratic solve off a cliff."""
+    quadratic solve off a cliff.
+    `pregate_px` > 0 invalidates observations whose error at the INITIAL
+    estimate exceeds the gate (wrong matches propagated through track
+    chains) — inside the jit, so callers need no extra device round trip."""
     K = problem.poses.shape[0]
     Pn = problem.points.shape[0]
+    if pregate_px > 0:
+        errs0 = reproj_errors(problem, intr)
+        problem = problem._replace(valid=problem.valid & (errs0 < pregate_px))
 
     def gn(_, carry):
         poses, points = carry

@@ -336,6 +336,9 @@ def make_step(
         )
         HW = height * width
         S_pack = min(HW, N_cap)
+        # capacity below one frame's pixel count (tiny test maps): the cond
+        # output must truncate, so the pack must be sorted new-rows-first
+        pack_sorted = S_pack < HW
 
         def render_branch(rows_op):
             pred = splat.render(
@@ -344,7 +347,7 @@ def make_step(
             )
 
             def fuse_br(rows2):
-                blk, packed, n_want, matched, culled = fusion.fuse_window(
+                blk, packed, rank, n_want, matched, culled = fusion.fuse_window(
                     rows2, win_start, count, pred, vmap_f, nmap_f,
                     rgb.astype(jnp.float32), new_pose, intr, time=t_now,
                     sensor=sensor, weight_mult=weight_mult,
@@ -353,17 +356,19 @@ def make_step(
                     time_delta=cfg.time_delta,
                     cluster_id=cluster_id,
                     depth_gate_rel=cfg.depth_gate_rel,
+                    pack_sorted=pack_sorted,
                 )
-                return blk, packed[:S_pack], n_want, matched, culled
+                return blk, packed[:S_pack], rank[:S_pack], n_want, matched, culled
 
             def skip_br(rows2):
                 zero = jnp.array(0, jnp.int32)
                 return (
                     rows2, jnp.zeros((S_pack, sm.COLS), jnp.float32),
+                    jnp.full((S_pack,), -1, jnp.int32),
                     zero, zero, zero,
                 )
 
-            blk, packed, n_want, matched, culled = jax.lax.cond(
+            blk, packed, rank, n_want, matched, culled = jax.lax.cond(
                 do_fuse, fuse_br, skip_br, rows_op
             )
             # store the refreshed prediction.  When fused, compositing with
@@ -382,7 +387,7 @@ def make_step(
             pn = jnp.where(do_fuse, comp.nmap, pred.nmap)
             pd = jnp.where(do_fuse, comp.depth, pred.depth)
             return (
-                blk, packed, n_want, matched, culled, pi, pv, pn, pd,
+                blk, packed, rank, n_want, matched, culled, pi, pv, pn, pd,
                 new_pose, jnp.array(0, jnp.int32),
             )
 
@@ -390,17 +395,18 @@ def make_step(
             zero = jnp.array(0, jnp.int32)
             return (
                 rows_op, jnp.zeros((S_pack, sm.COLS), jnp.float32),
+                jnp.full((S_pack,), -1, jnp.int32),
                 zero, zero, zero, state.pred_intensity,
                 state.pred_vmap, state.pred_nmap, state.pred_depth,
                 state.model_pose, state.model_age + 1,
             )
 
         (
-            blk, packed, n_want, matched, culled, pred_int, pred_v,
+            blk, packed, rank, n_want, matched, culled, pred_int, pred_v,
             pred_n, pred_d, model_pose, model_age,
         ) = jax.lax.cond(need_render, render_branch, keep_branch, rows_in)
         data, count, added, dropped = fusion.place_updates(
-            data, count, blk, win_start, packed, n_want
+            data, count, blk, win_start, packed, n_want, rank
         )
         model_rel = jnp.where(
             need_render, jnp.eye(4, dtype=jnp.float32), d_pose

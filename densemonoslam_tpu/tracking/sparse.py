@@ -444,9 +444,29 @@ class SparseTracker:
         self.run_local_ba = run_local_ba
         self.local_ba_min_baseline = local_ba_min_baseline
         self.last_loop: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self.last_loop_tick: int = -1  # tick of the loop pair's keyframe
         # (kf_ticks, kf_poses_before, kf_poses_after) of the last PGO run
         self.pgo_event: Optional[Tuple] = None
         self._pending: list = []  # (kp, pose_dev, ok_dev, disp_dev, tick)
+        # one-interval-old pending batch: its device values have certainly
+        # executed, so the flush's batched fetch returns WITHOUT draining the
+        # in-flight frame queue (see `flush`)
+        self._prev_pending: list = []
+        # cumulative world correction (PGO / BA / external pose override).
+        # Every pending entry snapshots it at append time; at processing the
+        # fetched pose is left-multiplied by (current @ inv(snapshot)) — the
+        # corrections applied WHILE it was in flight.  Without this,
+        # keyframes inserted from an in-flight batch land in the
+        # PRE-correction world and their odometry edges fight every later
+        # optimisation (measured: indoor baselines inflated past the BA gate
+        # and per-batch cost doubled).
+        self._corr_cum: np.ndarray = np.eye(4, dtype=np.float32)
+        self._acc_disp = 0.0  # keyframe displacement accumulator (host)
+        # FIFO of deferred host decisions whose device dispatches were issued
+        # a flush ago: ("retrieve" | "verify" | "ba_fetch" | "ba_apply",
+        # payload dict).  Each flush advances every op one stage.
+        self._async: list = []
+        self._ba_inflight = False  # one BA window in flight at a time
         self._prev: Optional[tuple] = None  # (Keypoints, pose_dev)
         self._summaries = jnp.zeros((64, 256), jnp.float32)
         self._edges: list = []  # (i, j, Z np [4,4], weight)
@@ -460,11 +480,20 @@ class SparseTracker:
 
     @pose.setter
     def pose(self, value) -> None:
+        old = np.asarray(self._pose)
         self._pose = jnp.asarray(value, jnp.float32)
         if self._prev is not None:
             # the next frame composes off the previous frame's pose — keep
             # it consistent with an externally-imposed correction
             self._prev = (self._prev[0], self._pose)
+        if np.all(np.isfinite(old)):
+            self._correct_inflight(
+                np.asarray(value, np.float32) @ np.linalg.inv(old)
+            )
+
+    def _correct_inflight(self, delta: np.ndarray) -> None:
+        """Record a world correction for poses still in the flush pipeline."""
+        self._corr_cum = delta.astype(np.float32) @ self._corr_cum
 
     # --------------------------------------------------------------- track
     def detect(self, intensity: jnp.ndarray, depth: jnp.ndarray) -> Keypoints:
@@ -496,66 +525,105 @@ class SparseTracker:
         self._pose = pose_new
         self._prev = (kp, pose_new)
         disp = jnp.where(ok, jnp.linalg.norm(A[:3, 3]), 0.0)
-        self._pending.append((kp, pose_new, ok, disp, self.tick))
+        self._pending.append(
+            (kp, pose_new, ok, disp, self.tick, self._corr_cum.copy())
+        )
         self.tick += 1
         if len(self._pending) >= self.flush_interval:
-            self.flush()
+            self.flush(drain=False)
         return pose_new, ok
 
     # --------------------------------------------------------------- flush
-    def flush(self) -> None:
-        """Realise pending per-frame scalars in one batch and run the host
-        decisions: keyframe insertion, loop retrieval + verification, PGO."""
-        if not self._pending:
-            return
-        scalars = np.asarray(
-            jnp.stack(
-                [
-                    jnp.stack([o.astype(jnp.float32), d])
-                    for _, _, o, d, _ in self._pending
-                ]
+    def flush(self, drain: bool = True) -> None:
+        """Advance the tracker's host decisions WITHOUT stalling the device.
+
+        The per-frame path queues device work only; this runs the host-side
+        state machine (keyframe insertion, loop retrieval + verification,
+        PGO, sliding-window BA) as a SOFTWARE PIPELINE lagged by one flush
+        interval: every value fetched here was dispatched at least one
+        interval ago, so with the dense steps of the current interval still
+        in the device queue, each `device_get` returns already-finished
+        results instead of draining the queue.  (Measured: the old
+        fetch-what-you-just-dispatched flush cost ~55 ms/frame of serial
+        host<->device ping-pong — the single largest cost of hybrid mode.)
+
+        Stages per decision:
+        - keyframes: batch-fetch the PREVIOUS interval's (ok, disp, pose)
+          in one transfer, insert keyframes, dispatch retrieval;
+        - loop closure: retrieval fetched one flush later; candidate
+          verification dispatched then, fetched the flush after; PGO runs
+          synchronously on a confirmed hit (rare);
+        - local BA: match/uv/depth fetch, host track building + solve
+          dispatch, and correction application each advance one flush.
+
+        `drain=True` (the default for explicit calls; `track()` passes
+        False) processes everything synchronously — end-of-sequence
+        semantics and the behaviour the tests rely on."""
+        batch, self._prev_pending = self._prev_pending, self._pending
+        self._pending = []
+        if drain:
+            batch = batch + self._prev_pending
+            self._prev_pending = []
+        self._advance_async()
+        if batch:
+            self._process_batch(batch)
+        if drain:
+            while self._async:
+                self._advance_async()
+
+    def _process_batch(self, batch) -> None:
+        scal, poses = jax.device_get(
+            (
+                jnp.stack(
+                    [
+                        jnp.stack([o.astype(jnp.float32), d])
+                        for _, _, o, d, _, _ in batch
+                    ]
+                ),
+                jnp.stack([p for _, p, _, _, _, _ in batch]),
             )
-        )  # ONE device fetch for the whole interval
-        base_pose = np.asarray(self.keyframes[-1][1])
-        acc_disp = 0.0
+        )  # ONE device fetch for the whole interval, poses included
         inserted = False
-        for (kp, pose_dev, _, _, tick), (ok_f, disp) in zip(
-            self._pending, scalars
+        for (kp, _pd, _o, _d, tick, corr0), (ok_f, disp), pose_np in zip(
+            batch, scal, poses
         ):
             if ok_f < 1.0:
-                acc_disp = 0.0
+                self._acc_disp = 0.0
                 continue
-            acc_disp += float(disp)
-            if acc_disp > self.kf_min_disp:
-                pose_np = np.asarray(pose_dev)
-                self._maybe_close_loop(kp, pose_np, tick)
+            self._acc_disp += float(disp)
+            if self._acc_disp > self.kf_min_disp:
+                # bring the in-flight pose into the CURRENT (post-PGO/BA)
+                # world: apply the corrections recorded since it was queued
+                corr = self._corr_cum @ np.linalg.inv(corr0)
+                pose_np = (corr @ np.asarray(pose_np)).astype(np.float32)
+                self._schedule_loop_check(kp, pose_np, tick)
                 self._insert_keyframe(kp, pose_np, tick)
                 inserted = True
-                acc_disp = 0.0
-        del base_pose
-        self._pending.clear()
+                self._acc_disp = 0.0
         if inserted and self.run_local_ba:
-            self._local_ba()
+            self._schedule_local_ba()
+
+    def _advance_async(self) -> None:
+        """Advance every in-flight deferred op by one stage (new stages the
+        handlers schedule land in the NEXT advance)."""
+        ops, self._async = self._async, []
+        for kind, payload in ops:
+            getattr(self, "_adv_" + kind)(payload)
 
     # ----------------------------------------------------------- local BA
-    def _local_ba(self) -> None:
-        """Sliding-window local bundle adjustment (the ORB-SLAM3 LocalMapping
-        role the reference consumes, `MainController.cpp:131-135`): landmarks
-        are tracked through consecutive keyframe matches across the last
-        `local_ba_window` keyframes, initialised by depth backprojection at
-        their first observation, and jointly refined with the window poses by
-        Schur-complement BA (`parallel.ba.bundle_adjust`).  The first window
-        camera is pinned (6-DoF gauge); scale stays observable with a single
-        pin because every track's seed observation carries measured depth
-        (the z residuals of the RGB-D BA) and depthless tracks never open.
-        Refined poses are written back to the keyframes, the odometry edges
-        between them, and the live pose."""
-        from densemonoslam_tpu.parallel import ba
-
+    def _schedule_local_ba(self) -> None:
+        """Stage 1 of the sliding-window local bundle adjustment (the
+        ORB-SLAM3 LocalMapping role the reference consumes,
+        `MainController.cpp:131-135`): dispatch the consecutive-keyframe
+        matches + keypoint tables the host track builder needs; the fetch
+        happens one flush later (`_adv_ba_fetch`)."""
+        if self._ba_inflight:  # overlapping windows would fight on write-back
+            return
         W = min(self.local_ba_window, len(self.keyframes))
         if W < 3:
             return
-        window = self.keyframes[-W:]
+        base = len(self.keyframes) - W
+        window = self.keyframes[base:]
         kps = [kf[0] for kf in window]
         poses = np.stack([np.asarray(kf[1]) for kf in window]).astype(np.float32)
         # BA needs parallax: with consecutive-keyframe baselines far below
@@ -569,18 +637,35 @@ class SparseTracker:
         )
         if bl < self.local_ba_min_baseline:
             return
-
-        KP = kps[0].uv.shape[0]
-        P_CAP = KP  # at most one track per seed keypoint slot
-        # ONE batched device->host transfer for everything the host-side
-        # track builder needs — sequential np.asarray calls here were ~24
-        # pipeline-draining round trips per BA run (the dominant cost of
-        # hybrid mode through a tunnelled TPU)
         m_dev = jnp.stack([match(kps[i - 1], kps[i])[0] for i in range(1, W)])
         uv_dev = jnp.stack([k.uv for k in kps])
         d_dev = jnp.stack([k.depth for k in kps])
         v_dev = jnp.stack([k.valid for k in kps])
-        m_np, uv_np, d_np, v_np = jax.device_get((m_dev, uv_dev, d_dev, v_dev))
+        self._ba_inflight = True
+        self._async.append(
+            ("ba_fetch", dict(base=base, W=W, handles=(m_dev, uv_dev, d_dev, v_dev)))
+        )
+
+    def _adv_ba_fetch(self, p) -> None:
+        """Stage 2: fetch the match/keypoint tables (dispatched a flush ago,
+        so the transfer does not drain the frame queue), build landmark
+        tracks on the host, and dispatch the Schur-complement solve.
+        Landmarks are initialised by depth backprojection at their first
+        observation and jointly refined with the window poses
+        (`parallel.ba.bundle_adjust`).  The first window camera is pinned
+        (6-DoF gauge); scale stays observable with a single pin because
+        every track's seed observation carries measured depth (the z
+        residuals of the RGB-D BA) and depthless tracks never open."""
+        from densemonoslam_tpu.parallel import ba
+
+        W, base = p["W"], p["base"]
+        m_np, uv_np, d_np, v_np = jax.device_get(p["handles"])
+        poses = np.stack(
+            [np.asarray(self.keyframes[base + i][1]) for i in range(W)]
+        ).astype(np.float32)
+        kps = [self.keyframes[base + i][0] for i in range(W)]
+        KP = kps[0].uv.shape[0]
+        P_CAP = KP  # at most one track per seed keypoint slot
         m_all = [m_np[i] for i in range(W - 1)]
         uvs = [uv_np[i] for i in range(W)]
         deps = [d_np[i] for i in range(W)]
@@ -619,6 +704,7 @@ class SparseTracker:
                 track_ids[i + 1][m[idx_new]] = ids
                 n_tracks += idx_new.size
         if n_tracks < 30:
+            self._ba_inflight = False
             return
 
         # flatten observations (every keyframe slot carrying a track id);
@@ -651,33 +737,42 @@ class SparseTracker:
             valid=jnp.asarray(valid),
             z=jnp.asarray(z_obs),
         )
-        # outlier gate: drop observations already >8 px off at the (good)
-        # odometry estimate — wrong matches propagated through the track
-        # chain would otherwise dominate the quadratic solve
-        errs = np.asarray(ba.reproj_errors(problem, self.intr))
-        problem = problem._replace(
-            valid=jnp.asarray(valid & (errs < 8.0))
-        )
+        # the >8 px outlier pregate (wrong matches propagated through the
+        # track chain would dominate the quadratic solve) runs INSIDE the
+        # jitted solve now (`bundle_adjust pregate_px`): no extra round trip
         refined, _err = ba.bundle_adjust(
             problem, self.intr, iters=4, fix_cameras=1, damping=1e-2,
-            huber=3.0,
+            huber=3.0, pregate_px=8.0,
         )
-        out = np.asarray(refined.poses)
-        base = len(self.keyframes) - W
+        self._async.append(
+            ("ba_apply", dict(base=base, W=W, poses_in=poses, out=refined.poses))
+        )
+
+    def _adv_ba_apply(self, p) -> None:
+        """Stage 3: fetch the refined window poses (solve dispatched a flush
+        ago) and apply — write back to the keyframes, refresh the odometry
+        edges between window members (they feed later PGO runs), and carry
+        the live pose with the last keyframe's correction."""
+        base, W, poses = p["base"], p["W"], p["poses_in"]
+        out = np.asarray(p["out"])
+        self._ba_inflight = False
+        if not np.all(np.isfinite(out)):
+            return
         for wi in range(W):
             kp, _, tick = self.keyframes[base + wi]
             self.keyframes[base + wi] = (kp, out[wi], tick)
-        # refresh odometry edges between window members with the BA-refined
-        # relative transforms (they feed later PGO runs)
         for e, (i, j, Z, wgt) in enumerate(self._edges):
             if base <= i < base + W and base <= j < base + W and wgt == 1.0:
                 Znew = np.linalg.inv(out[i - base]) @ out[j - base]
                 self._edges[e] = (i, j, Znew.astype(np.float32), wgt)
-        # carry the live pose with the last keyframe's correction
+        # live-pose delta measured against the estimate AT SOLVE TIME: the
+        # correction composes correctly even though odometry advanced while
+        # the solve was in flight
         delta = out[W - 1] @ np.linalg.inv(poses[W - 1])
         self._pose = jnp.asarray(delta @ np.asarray(self._pose), jnp.float32)
         if self._prev is not None:
             self._prev = (self._prev[0], self._pose)
+        self._correct_inflight(delta)
         self.local_ba_runs += 1
 
     def _insert_keyframe(self, kp: Keypoints, pose_np, tick: int) -> None:
@@ -693,11 +788,11 @@ class SparseTracker:
         self._summaries = self._summaries.at[k].set(desc_summary(kp))
         self.keyframes.append((kp, np.asarray(pose_np), tick))
 
-    def _maybe_close_loop(self, kp: Keypoints, pose_np, tick: int) -> None:
-        """Summary retrieval (one matvec) + geometric verification; on
-        success: add a loop edge, optimise the pose graph, and store the
-        (old estimate, corrected) pair the hybrid dense pipeline consumes
-        (`MainController.cpp:360-369` orbTcwOld/orbTcwNew)."""
+    def _schedule_loop_check(self, kp: Keypoints, pose_np, tick: int) -> None:
+        """Stage 1 of loop closing: dispatch summary retrieval (one matvec)
+        for the about-to-be-inserted keyframe; the result is fetched one
+        flush later.  The reference consumes the same pipeline's output via
+        `getLoopClosureCandidate` (`MainController.cpp:360-369`)."""
         n_kf = len(self.keyframes)
         # eligible: keyframes at least loop_min_gap ticks older
         max_idx = 0
@@ -707,78 +802,118 @@ class SparseTracker:
         if max_idx == 0:
             return
         q = desc_summary(kp)
-        cand_idx, cand_sim = retrieve(
+        cand = retrieve(
             self._summaries, jnp.asarray(n_kf), q, jnp.asarray(max_idx)
         )
-        cand_idx, cand_sim = np.asarray(cand_idx), np.asarray(cand_sim)
-        hit = None
-        for j, sim in zip(cand_idx, cand_sim):
-            if sim < 0.35:
-                break
-            kf_kp, kf_pose, _ = self.keyframes[int(j)]
-            matches, _ = match(kf_kp, kp)
-            votes = int(jnp.sum(matches >= 0))
-            if votes < self.loop_min_votes:
-                continue
+        self._async.append(
+            ("retrieve", dict(
+                kp=kp, pose_np=np.asarray(pose_np).copy(), tick=tick,
+                k=len(self.keyframes), cand=cand,
+            ))
+        )
+
+    def _adv_retrieve(self, p) -> None:
+        """Stage 2: fetch the retrieval scores; for candidates above the
+        similarity bar dispatch geometric verification (Hamming matching +
+        motion-only GN) — fetched next flush."""
+        cand_idx, cand_sim = jax.device_get(p["cand"])
+        cands = [
+            int(j) for j, sim in zip(cand_idx, cand_sim) if sim >= 0.35
+        ]
+        if not cands:
+            return
+        handles = []
+        for j in cands:
+            kf_kp = self.keyframes[j][0]
+            matches, _ = match(kf_kp, p["kp"])
+            votes = jnp.sum((matches >= 0).astype(jnp.int32))
             A, inl, err = motion_only_pose(
-                kf_kp, kp, matches, self.intr, jnp.eye(4, dtype=jnp.float32)
+                kf_kp, p["kp"], matches, self.intr,
+                jnp.eye(4, dtype=jnp.float32),
             )
+            handles.append((votes, A, inl, err))
+        self._async.append(("verify", dict(handles=handles, cands=cands, **{
+            key: p[key] for key in ("pose_np", "tick", "k")
+        })))
+
+    def _adv_verify(self, p) -> None:
+        """Stage 3: fetch all candidates' verification results in one
+        transfer; on a confirmed hit add the loop edge and run PGO (rare —
+        this one blocks)."""
+        fetched = jax.device_get(p["handles"])
+        hit = None
+        for j, (votes, A, inl, err) in zip(p["cands"], fetched):
+            if int(votes) < self.loop_min_votes:
+                continue
             if int(inl) < 20 or float(err) >= 4.0:
                 continue
-            hit = (int(j), kf_pose, A)
+            hit = (j, np.asarray(A).astype(np.float32))
             break
         if hit is None:
             return
-        j, kf_pose, A = hit
-        corrected = (kf_pose @ np.asarray(A)).astype(np.float32)
-        self.last_loop = (np.asarray(pose_np).copy(), corrected)
+        j, A = hit
+        k = p["k"]  # the keyframe this check belongs to (already inserted)
+        if k >= len(self.keyframes):
+            return  # keyframe vanished (defensive)
+        # corrected pose of keyframe k implied by the match against j's
+        # CURRENT pose (PGO/BA may have refined it while this was in flight);
+        # the pair's drifted half is likewise k's CURRENT estimate — the
+        # consumer computes the world correction as corr @ inv(est), which
+        # must span exactly the drift the optimiser is about to remove
+        kf_pose = np.asarray(self.keyframes[j][1])
+        corrected = (kf_pose @ A).astype(np.float32)
+        pose_est = np.asarray(self.keyframes[k][1]).astype(np.float32).copy()
+        self.last_loop = (pose_est, corrected)
+        # which frame the pair describes: the loop KEYFRAME's tick (the
+        # verification pipeline lags insertion by ~two flushes, so consumers
+        # must not assume the pair refers to the current frame)
+        self.last_loop_tick = p["tick"]
         self.loops_closed += 1
-        # loop edge j -> (new keyframe index = len(keyframes)); the caller
-        # inserts the keyframe right after this check
-        k = len(self.keyframes)
-        Z = np.asarray(A).astype(np.float32)
-        self._edges.append((j, k, Z, 3.0))
+        self._edges.append((j, k, A, 3.0))
         if self.run_pgo:
             self._optimise_graph(
-                pending_pose=corrected, old_pose=np.asarray(pose_np),
+                k=k, corrected=corrected, old_pose=pose_est,
                 anchor_idx=j,
             )
 
     def _optimise_graph(
-        self, pending_pose: np.ndarray, old_pose: Optional[np.ndarray] = None,
-        anchor_idx: Optional[int] = None,
+        self, k: int, corrected: np.ndarray, old_pose: np.ndarray,
+        anchor_idx: int,
     ) -> None:
-        """Pose-graph GN over all keyframes + the pending one (odometry +
-        loop edges) via `parallel.ba.optimise_pose_graph`; keyframe poses and
-        the live pose are rewritten from the optimum.
+        """Pose-graph GN over all keyframes (odometry + loop edges) via
+        `parallel.ba.optimise_pose_graph`; keyframe poses and the live pose
+        are rewritten from the optimum.
 
-        `old_pose` is the pending keyframe's PRE-correction estimate: the
+        `k` is the loop's NEW keyframe (already inserted — the verification
+        pipeline runs a flush behind insertion), `corrected` its
+        loop-implied pose and `old_pose` its PRE-correction estimate: the
         live-pose delta must map the drifted estimate onto the optimum —
-        measuring it against the already-corrected `pending_pose` would make
-        the delta ~identity and silently leave the live pose drifted.
+        measuring it against the already-corrected pose would make the
+        delta ~identity and silently leave the live pose drifted.
 
         `anchor_idx` (the loop's old keyframe) enables the distributed warm
-        start: the end-of-loop correction is interpolated in se(3) along the
-        chain from the anchor to the end BEFORE GN runs.  Without it, a loop
-        closing tens of metres of drift leaves GN's first step so far outside
-        the quadratic basin that every iteration is rejected by the
-        divergence rollback — the pending pose corrects (its loop edge is
-        direct) while all other keyframes silently keep their drift."""
+        start: the loop correction is interpolated in se(3) along the chain
+        from the anchor to `k` (keyframes past `k` get the full correction)
+        BEFORE GN runs.  Without it, a loop closing tens of metres of drift
+        leaves GN's first step so far outside the quadratic basin that every
+        iteration is rejected by the divergence rollback — the loop keyframe
+        corrects (its loop edge is direct) while all other keyframes
+        silently keep their drift."""
         from densemonoslam_tpu.parallel import ba
 
-        K = len(self.keyframes) + 1
-        poses = np.stack(
-            [p for _, p, _ in self.keyframes] + [pending_pose]
-        ).astype(np.float32)
+        K = len(self.keyframes)
+        poses = np.stack([p for _, p, _ in self.keyframes]).astype(np.float32)
         poses_orig = poses.copy()
-        if old_pose is not None and anchor_idx is not None:
-            C = (pending_pose @ np.linalg.inv(old_pose)).astype(np.float32)
-            xi = np.asarray(se3.se3_log(jnp.asarray(C)))
-            span = max(K - 1 - anchor_idx, 1)
-            for idx in range(anchor_idx + 1, K - 1):
-                s = (idx - anchor_idx) / span
-                D = np.asarray(se3.se3_exp(jnp.asarray(s * xi, jnp.float32)))
-                poses[idx] = D @ poses[idx]
+        poses[k] = corrected
+        C = (corrected @ np.linalg.inv(old_pose)).astype(np.float32)
+        xi = np.asarray(se3.se3_log(jnp.asarray(C)))
+        span = max(k - anchor_idx, 1)
+        for idx in range(anchor_idx + 1, K):
+            if idx == k:
+                continue
+            s = min((idx - anchor_idx) / span, 1.0)
+            D = np.asarray(se3.se3_exp(jnp.asarray(s * xi, jnp.float32)))
+            poses[idx] = D @ poses[idx]
         # pad to power-of-two capacity so recompiles are logarithmic
         Kcap = 8
         while Kcap < K:
@@ -822,18 +957,19 @@ class SparseTracker:
         for idx in range(len(self.keyframes)):
             kp, _, tick = self.keyframes[idx]
             self.keyframes[idx] = (kp, out[idx], tick)
-        # carry the live pose with the last keyframe's correction, measured
-        # from its PRE-correction estimate (the live pose is still there)
-        ref = poses[K - 1] if old_pose is None else old_pose
-        delta = out[K - 1] @ np.linalg.inv(ref)
+        # carry the live pose with the LAST keyframe's correction, measured
+        # from its PRE-warm-start estimate (the live pose composed off it);
+        # poses still in the flush pipeline take the same correction
+        delta = out[K - 1] @ np.linalg.inv(poses_orig[K - 1])
         self._pose = jnp.asarray(
             delta @ np.asarray(self._pose), jnp.float32
         )
         if self._prev is not None:
             self._prev = (self._prev[0], self._pose)
-        corrected = out[K - 1]
+        self._correct_inflight(delta)
         if self.last_loop is not None:
-            self.last_loop = (self.last_loop[0], corrected.astype(np.float32))
+            # the hybrid pair's corrected half is keyframe k's OPTIMISED pose
+            self.last_loop = (self.last_loop[0], out[k].astype(np.float32))
 
     def pop_loop(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         """(pose_old_estimate, pose_corrected) pair, once (the reference's

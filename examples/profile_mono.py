@@ -97,8 +97,8 @@ def run(eng, fe, frames, instrument: bool):
         st.detect = staged("sparse_detect", st.detect)
         st.track = staged("sparse_track_total", st.track)
         st.flush = staged("tracker_flush", st.flush)
-        st._local_ba = staged("local_ba", st._local_ba)
-        st._maybe_close_loop = staged("loop_retrieval", st._maybe_close_loop)
+        st._process_batch = staged("flush_batch", st._process_batch)
+        st._advance_async = staged("flush_async", st._advance_async)
         fe.step_fn = staged("dense_step", fe.step_fn)
         import densemonoslam_tpu.loops as loopsmod
 

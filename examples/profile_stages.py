@@ -127,14 +127,15 @@ def main() -> None:
     def stage_fuse(data, count, pred, vmap_f, nmap_f, rgb, pose, t):
         win_start = splat.active_window_start(count, N_cap, win_n)
         rows = jax.lax.dynamic_slice(data, (win_start, 0), (win_n, sm.COLS))
-        blk, packed, n_want, matched, culled = fusion.fuse_window(
+        blk, packed, rank, n_want, matched, culled = fusion.fuse_window(
             rows, win_start, count, pred, vmap_f, nmap_f,
             rgb.astype(jnp.float32), pose, intr, time=t, sensor=0,
             weight_mult=jnp.float32(1.0), clean_depth=depth_m,
             conf_threshold=cfg.confidence_threshold, time_delta=cfg.time_delta,
             cluster_id=jnp.float32(0.0))
         data2, count2, added, dropped = fusion.place_updates(
-            data, count, blk, win_start, packed[: H * W], n_want)
+            data, count, blk, win_start, packed[: H * W], n_want,
+            rank[: H * W])
         return data2, count2
 
     @jax.jit

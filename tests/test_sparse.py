@@ -112,12 +112,18 @@ def test_loop_candidate_on_revisit(seq):
         inten, depth = _frame(seq, i)
         tr.track(inten, depth)
         got = tr.pop_loop()
-        if got is not None and i > 25:
-            loop = (i, got)
+        if got is not None and tr.last_loop_tick > 25:
+            loop = (tr.last_loop_tick, got)
+    tr.flush()  # drain the lagged verification pipeline
+    got = tr.pop_loop()
+    if got is not None and tr.last_loop_tick > 25:
+        loop = (tr.last_loop_tick, got)
     assert loop is not None, "no loop detected on revisit"
-    i, (pose_old, pose_corr) = loop
-    # corrected pose should be consistent with GT at that frame
-    terr = np.linalg.norm(pose_corr[:3, 3] - seq.gt_pose(i)[:3, 3])
+    k_tick, (pose_old, pose_corr) = loop
+    # corrected pose should be consistent with GT at the loop KEYFRAME's
+    # frame (the async verification pipeline reports pairs a few frames
+    # after the revisit; the pair itself is stamped with the keyframe tick)
+    terr = np.linalg.norm(pose_corr[:3, 3] - seq.gt_pose(k_tick)[:3, 3])
     assert terr < 0.15, terr
 
 
