@@ -34,7 +34,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from densemonoslam_tpu.config import CameraIntrinsics
@@ -159,7 +159,7 @@ def make_distributed_pgo(mesh: Mesh, iters: int = PGO_GN_ITERS, cg_iters: int = 
         mesh=mesh,
         in_specs=(P(), P("cam"), P("cam"), P("cam"), P("cam")),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
@@ -396,7 +396,7 @@ def make_distributed_ba(
         mesh=mesh,
         in_specs=(P(), P("cam"), P("cam"), P("cam"), P("cam"), P("cam")),
         out_specs=(P(), P("cam"), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

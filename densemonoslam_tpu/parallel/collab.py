@@ -22,7 +22,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from densemonoslam_tpu import step as stepmod
@@ -75,7 +75,7 @@ def make_collab_step(
         mesh=mesh,
         in_specs=(P("cam"), P("cam"), P("cam")),
         out_specs=(P("cam"), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

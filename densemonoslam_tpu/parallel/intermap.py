@@ -40,7 +40,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from densemonoslam_tpu import step as stepmod
@@ -419,7 +419,7 @@ def make_intermap_round(
         mesh=mesh,
         in_specs=(P("cam"), P("cam"), P("cam"), P("cam")),
         out_specs=(P("cam"), P("cam"), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

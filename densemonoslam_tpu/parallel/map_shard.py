@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from densemonoslam_tpu.mapping import deformation as dg
@@ -50,7 +50,7 @@ def make_sharded_apply_to_map(mesh: Mesh):
         mesh=mesh,
         in_specs=(P("map"), P(), P(), P(), P(), P(), P()),
         out_specs=P("map"),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

@@ -58,7 +58,6 @@ _WORKER = textwrap.dedent(
 ) % {"repo": REPO}
 
 
-@pytest.mark.timeout(600)
 def test_two_host_session(tmp_path):
     n = 2
     port = 19911
@@ -152,7 +151,6 @@ _WORKER_IM = textwrap.dedent(
 ) % {"repo": REPO}
 
 
-@pytest.mark.timeout(1100)
 def test_two_host_intermap_merge():
     """BASELINE config 5's distributed inter-map closure: two HOSTS (real
     processes over jax.distributed), one camera each, start in separate maps
