@@ -200,24 +200,36 @@ from densemonoslam_tpu.config import CameraIntrinsics, EngineConfig
 from densemonoslam_tpu.parallel import collab
 from densemonoslam_tpu.parallel.mesh import make_mesh
 
-W, H = 160, 120
-intr = CameraIntrinsics(132.0, 132.0, W / 2 - 0.5, H / 2 - 0.5)
-cfg = EngineConfig(max_surfels=1 << 15, depth_cutoff=10.0, depth_factor=1.0,
-                   nid_keyframing=False, open_loop=True)
-rng = np.random.default_rng(0)
+from densemonoslam_tpu.io.synthetic import SyntheticSequence
+
+# REAL frames (the analytic orbit fixture), full pipeline config (NID
+# keyframing on): tracking/fusion take their live branches, so scaling
+# efficiency measures the actual SLAM workload, not degenerate paths on
+# random noise
+seq = SyntheticSequence(num_frames=24, radius=0.3, max_angle=0.25)
+H = seq.camera.resolution.height
+W = seq.camera.resolution.width
+intr = seq.camera.intrinsics
+cfg = EngineConfig(max_surfels=1 << 15, depth_cutoff=8.0, depth_factor=1.0,
+                   max_depth=8.0, nid_keyframing=True, open_loop=False)
+frames = [seq.frame(i) for i in range(24)]
 out = {}
+iters = 10
 for n in (1, 8):
     mesh = make_mesh(n_cams=n, n_map=1, devices=jax.devices()[:n])
     step = collab.make_collab_step(mesh, intr, H, W, cfg)
     state = collab.init_state(n, cfg.max_surfels, H, W)
-    rgb = jnp.asarray(rng.integers(0, 255, (n, H, W, 3)), jnp.uint8)
-    dep = jnp.asarray(rng.uniform(0.5, 5.0, (n, H, W)), jnp.float32)
-    state, stats, total = step(state, rgb, dep)  # compile + bootstrap
+    # camera c follows the orbit offset by 2c frames
+    def batch(i):
+        rgb = np.stack([frames[(i + 2 * c) %% 24][0] for c in range(n)])
+        dep = np.stack([frames[(i + 2 * c) %% 24][1] for c in range(n)])
+        return jnp.asarray(rgb), jnp.asarray(dep)
+    batches = [batch(i) for i in range(iters + 1)]
+    state, stats, total = step(state, *batches[0])  # compile + bootstrap
     jax.block_until_ready(stats)
     t0 = time.perf_counter()
-    iters = 10
-    for _ in range(iters):
-        state, stats, total = step(state, rgb, dep)
+    for i in range(iters):
+        state, stats, total = step(state, *batches[i + 1])
     jax.block_until_ready(stats)
     dt = time.perf_counter() - t0
     out[n] = n * iters / dt  # camera-frames per second

@@ -351,25 +351,51 @@ def bundle_adjust(
 
 def make_distributed_ba(
     mesh: Mesh, intr: CameraIntrinsics, iters: int = 5, damping: float = 1e-4,
-    fix_cameras: int = 1,
+    fix_cameras: int = 1, huber: float = 0.0, pregate_px: float = 0.0,
 ):
     """Landmark-sharded Schur BA: points + their observations are split over
     the `cam` mesh axis (each shard owns a point block and ALL observations of
-    those points — sort observations by point id before sharding); each shard
-    forms its partial (S, b), `psum` reduces them over ICI, every device
-    solves the replicated camera system, and landmarks back-substitute
-    locally.  This is BASELINE's Schur-complement-over-collectives recipe.
+    those points — sort observations by point id before sharding, e.g. with
+    `shard_ba_problem`); each shard forms its partial (S, b), `psum` reduces
+    them over ICI, every device solves the replicated camera system, and
+    landmarks back-substitute locally.  This is BASELINE's
+    Schur-complement-over-collectives recipe.
+
+    `huber`/`pregate_px` match `bundle_adjust`'s robustness options so the
+    distributed solve is a drop-in for the sparse tracker's RGB-D local BA
+    (z residuals via the `z` input; pass zeros for pure reprojection BA).
     """
 
-    def local(poses, points, cam_idx, pnt_idx_local, uv, valid):
+    def local(poses, points, cam_idx, pnt_idx_local, uv, valid, z):
         K = poses.shape[0]
         Pl = points.shape[0]
+
+        if pregate_px > 0:
+            # outlier pregate at the INITIAL estimate, shard-local (each
+            # shard owns its observations outright)
+            r0, _, _ = _ba_blocks(
+                poses, points, cam_idx, pnt_idx_local, uv, valid, intr,
+                z_obs=z,
+            )
+            valid = valid & (jnp.linalg.norm(r0, axis=-1) < pregate_px)
 
         def gn(_, carry):
             poses_c, pts = carry
             r, Jc, Jp = _ba_blocks(
-                poses_c, pts, cam_idx, pnt_idx_local, uv, valid, intr
+                poses_c, pts, cam_idx, pnt_idx_local, uv, valid, intr,
+                z_obs=z,
             )
+            if huber > 0:
+                w = jnp.sqrt(
+                    jnp.minimum(
+                        1.0,
+                        huber
+                        / jnp.maximum(jnp.linalg.norm(r, axis=-1), 1e-9),
+                    )
+                )
+                r = r * w[:, None]
+                Jc = Jc * w[:, None, None]
+                Jp = Jp * w[:, None, None]
             S, b, Vinv, b_p, G = _schur_reduce(
                 r, Jc, Jp, cam_idx, pnt_idx_local, K, Pl, damping
             )
@@ -386,7 +412,9 @@ def make_distributed_ba(
             return poses_n, pts + dX
 
         poses_o, pts_o = jax.lax.fori_loop(0, iters, gn, (poses, points))
-        r, _, _ = _ba_blocks(poses_o, pts_o, cam_idx, pnt_idx_local, uv, valid, intr)
+        r, _, _ = _ba_blocks(
+            poses_o, pts_o, cam_idx, pnt_idx_local, uv, valid, intr, z_obs=z
+        )
         err = jax.lax.psum(jnp.sum(jnp.linalg.norm(r, axis=-1)), "cam")
         n = jax.lax.psum(jnp.sum(valid), "cam")
         return poses_o, pts_o, err / jnp.maximum(n, 1)
@@ -394,13 +422,73 @@ def make_distributed_ba(
     sharded = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P("cam"), P("cam"), P("cam"), P("cam"), P("cam")),
+        in_specs=(P(), P("cam"), P("cam"), P("cam"), P("cam"), P("cam"), P("cam")),
         out_specs=(P(), P("cam"), P()),
         check_vma=False,
     )
 
     @jax.jit
-    def run(poses, points, cam_idx, pnt_idx_local, uv, valid):
-        return sharded(poses, points, cam_idx, pnt_idx_local, uv, valid)
+    def run(poses, points, cam_idx, pnt_idx_local, uv, valid, z):
+        return sharded(poses, points, cam_idx, pnt_idx_local, uv, valid, z)
 
     return run
+
+
+def shard_ba_problem(problem: BAProblem, n_shards: int, obs_align: int = 256):
+    """Host-side data layout for `make_distributed_ba`: sort observations by
+    point id, pad the point set to a multiple of `n_shards`, give every shard
+    an equal observation slab covering exactly its point block (local point
+    indices), padding to a common per-shard count rounded up to `obs_align`
+    so jit recompiles stay logarithmic in the window size.
+
+    Returns (points_padded [P', 3], cam_idx, pnt_idx_local, uv, valid, z)
+    flattened shard-major, plus P' — feed straight into the distributed run;
+    refined points come back in the same padded/blocked order (the tracker
+    only consumes the replicated poses)."""
+    import numpy as np
+
+    Pn = problem.points.shape[0]
+    Pp = ((Pn + n_shards - 1) // n_shards) * n_shards
+    per = Pp // n_shards
+    points = np.zeros((Pp, 3), np.float32)
+    points[:Pn] = np.asarray(problem.points)
+
+    order = np.argsort(np.asarray(problem.pnt_idx), kind="stable")
+    cam_s = np.asarray(problem.cam_idx)[order]
+    pnt_s = np.asarray(problem.pnt_idx)[order]
+    uv_s = np.asarray(problem.uv)[order]
+    val_s = np.asarray(problem.valid)[order]
+    z_all = (
+        np.asarray(problem.z)
+        if problem.z is not None
+        else np.zeros((order.shape[0],), np.float32)
+    )
+    z_s = z_all[order]
+
+    counts = [
+        int(((pnt_s >= s * per) & (pnt_s < (s + 1) * per) & val_s).sum())
+        for s in range(n_shards)
+    ]
+    o_max = max(max(counts), 1)
+    o_max = ((o_max + obs_align - 1) // obs_align) * obs_align
+    cam_pad = np.zeros((n_shards, o_max), np.int32)
+    pnt_pad = np.zeros((n_shards, o_max), np.int32)
+    uv_pad = np.zeros((n_shards, o_max, 2), np.float32)
+    val_pad = np.zeros((n_shards, o_max), bool)
+    z_pad = np.zeros((n_shards, o_max), np.float32)
+    for s in range(n_shards):
+        sel = (pnt_s >= s * per) & (pnt_s < (s + 1) * per) & val_s
+        n = int(sel.sum())
+        cam_pad[s, :n] = cam_s[sel]
+        pnt_pad[s, :n] = pnt_s[sel] - s * per
+        uv_pad[s, :n] = uv_s[sel]
+        val_pad[s, :n] = True
+        z_pad[s, :n] = z_s[sel]
+    return (
+        jnp.asarray(points),
+        jnp.asarray(cam_pad.reshape(-1)),
+        jnp.asarray(pnt_pad.reshape(-1)),
+        jnp.asarray(uv_pad.reshape(-1, 2)),
+        jnp.asarray(val_pad.reshape(-1)),
+        jnp.asarray(z_pad.reshape(-1)),
+    )

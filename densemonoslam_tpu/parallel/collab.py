@@ -13,7 +13,12 @@ degrade to a both-sides select).
 Cross-camera state rides ICI collectives: per-camera stats are all-gathered
 so every host sees session health, and the global surfel total is a psum —
 the SPMD analogue of the reference's shared stats/GUI state.  Inter-map loop
-closures and merges use the host-side machinery in `densemonoslam_tpu.loops`.
+closures and merges run collectively (`parallel.intermap`); per-camera
+INTRA-map loop closure runs as part of the sharded work at cadence
+(`make_collab_local_loop`), so each collaborative camera executes the FULL
+reference `processFrame` surface — NID keyframing, time-window gating, local
+deformation — not just open-loop odometry+fusion
+(`ElasticFusion.cpp:99-637`: every context runs the complete pipeline).
 """
 
 from __future__ import annotations
@@ -85,3 +90,63 @@ def make_collab_step(
         return sharded(state, rgb_batch, depth_batch)
 
     return collab_step
+
+
+def init_rel_banks(n_cams: int, capacity: int = 64):
+    """Per-camera relative-constraint banks (leading `cam` axis)."""
+    from densemonoslam_tpu import loops as loopsmod
+
+    one = loopsmod.make_rel_bank(capacity)
+    return jax.tree.map(
+        lambda v: jnp.broadcast_to(v, (n_cams,) + v.shape), one
+    )
+
+
+def make_collab_local_loop(
+    mesh: Mesh,
+    intr: CameraIntrinsics,
+    height: int,
+    width: int,
+    config: EngineConfig,
+):
+    """Per-camera INTRA-map loop closure inside the sharded program.
+
+    Each device runs the complete jitted local-loop program on its own
+    camera's map — INACTIVE render, model-to-model ICP, acceptance gates,
+    deformation-graph GN-CG, whole-map apply (`loops._make_local_loop`,
+    reference `ElasticFusion.cpp:399-495`) — with only the tiny outcome
+    vectors riding one `all_gather`, so every host sees which cameras
+    closed.  Call at the engine's loop cadence between `collab_step`s.
+
+    Returns a jitted `(state_b, banks_b) -> (state_b, banks_b, infos)` with
+    `infos` [n_cams, 5] replicated: columns are (closed, inactive_frac,
+    inlier_frac, icp_error, cons_error) per camera (`loops.LoopInfo`).
+    """
+    from densemonoslam_tpu import loops as loopsmod
+
+    run = loopsmod._make_local_loop(intr, width, height, config)
+
+    def local(state_b, bank_b):
+        state = jax.tree.map(lambda v: v[0], state_b)
+        bank = jax.tree.map(lambda v: v[0], bank_b)
+        new_state, info_vec, _graph, new_bank = run(state, bank)
+        infos = jax.lax.all_gather(info_vec, "cam")
+        return (
+            jax.tree.map(lambda v: v[None], new_state),
+            jax.tree.map(lambda v: v[None], new_bank),
+            infos,
+        )
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("cam"), P("cam")),
+        out_specs=(P("cam"), P("cam"), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def loop_round(state_b, bank_b):
+        return sharded(state_b, bank_b)
+
+    return loop_round

@@ -429,6 +429,7 @@ class SparseTracker:
         local_ba_window: int = 6,
         run_local_ba: bool = True,
         local_ba_min_baseline: float = 0.25,
+        mesh=None,
     ):
         self.intr = intr
         self._pose = jnp.eye(4, dtype=jnp.float32)  # camera-to-world
@@ -443,6 +444,14 @@ class SparseTracker:
         self.local_ba_window = local_ba_window
         self.run_local_ba = run_local_ba
         self.local_ba_min_baseline = local_ba_min_baseline
+        # BASELINE config 4: when a `jax.sharding.Mesh` with a `cam` axis is
+        # given, the pose-graph solve runs edge-sharded and the sliding-
+        # window BA landmark-sharded across the mesh (Schur/normal equations
+        # psum-reduced over ICI) instead of on one device — same optimum,
+        # parity-tested in tests/test_street.py.
+        self.mesh = mesh
+        self._dist_pgo = None
+        self._dist_ba = None
         self.last_loop: Optional[Tuple[np.ndarray, np.ndarray]] = None
         self.last_loop_tick: int = -1  # tick of the loop pair's keyframe
         # (kf_ticks, kf_poses_before, kf_poses_after) of the last PGO run
@@ -740,12 +749,27 @@ class SparseTracker:
         # the >8 px outlier pregate (wrong matches propagated through the
         # track chain would dominate the quadratic solve) runs INSIDE the
         # jitted solve now (`bundle_adjust pregate_px`): no extra round trip
-        refined, _err = ba.bundle_adjust(
-            problem, self.intr, iters=4, fix_cameras=1, damping=1e-2,
-            huber=3.0, pregate_px=8.0,
-        )
+        if self.mesh is not None:
+            # landmark-sharded Schur BA over the mesh (same robustness
+            # options as the single-device solve)
+            if self._dist_ba is None:
+                self._dist_ba = ba.make_distributed_ba(
+                    self.mesh, self.intr, iters=4, fix_cameras=1,
+                    damping=1e-2, huber=3.0, pregate_px=8.0,
+                )
+            n_dev = int(np.prod(self.mesh.devices.shape))
+            pts_p, ci, pi, uvp, vp, zp = ba.shard_ba_problem(problem, n_dev)
+            out_poses, _pts, _err = self._dist_ba(
+                problem.poses, pts_p, ci, pi, uvp, vp, zp
+            )
+        else:
+            refined, _err = ba.bundle_adjust(
+                problem, self.intr, iters=4, fix_cameras=1, damping=1e-2,
+                huber=3.0, pregate_px=8.0,
+            )
+            out_poses = refined.poses
         self._async.append(
-            ("ba_apply", dict(base=base, W=W, poses_in=poses, out=refined.poses))
+            ("ba_apply", dict(base=base, W=W, poses_in=poses, out=out_poses))
         )
 
     def _adv_ba_apply(self, p) -> None:
@@ -935,14 +959,22 @@ class SparseTracker:
         # quadratically with trajectory length); a fixed modest CG budget
         # then polishes locally, keeping per-closure cost linear in the
         # graph size
-        out, _err = ba.optimise_pose_graph(
-            jnp.asarray(poses_p),
-            ba.PoseGraphEdges(
-                i=jnp.asarray(ei), j=jnp.asarray(ej),
-                Z=jnp.asarray(Z), weight=jnp.asarray(w),
-            ),
-            cg_iters=128,
+        edges_dev = ba.PoseGraphEdges(
+            i=jnp.asarray(ei), j=jnp.asarray(ej),
+            Z=jnp.asarray(Z), weight=jnp.asarray(w),
         )
+        if self.mesh is not None:
+            # edge-sharded PGO over the mesh (Ecap is a power of two >= 8,
+            # so it divides evenly over any power-of-two `cam` axis)
+            if self._dist_pgo is None:
+                self._dist_pgo = ba.make_distributed_pgo(
+                    self.mesh, cg_iters=128
+                )
+            out, _err = self._dist_pgo(jnp.asarray(poses_p), edges_dev)
+        else:
+            out, _err = ba.optimise_pose_graph(
+                jnp.asarray(poses_p), edges_dev, cg_iters=128,
+            )
         out = np.asarray(out)
         # record the per-keyframe corrections (from the ORIGINAL, pre-warm-
         # start poses) so the engine can rewrite its own pose history (the

@@ -176,6 +176,7 @@ def test_distributed_ba_matches_single():
         jnp.asarray(pnt_pad.reshape(-1)),
         jnp.asarray(uv_pad.reshape(-1, 2)),
         jnp.asarray(val_pad.reshape(-1)),
+        jnp.zeros((8 * O_max,), jnp.float32),
     )
     np.testing.assert_allclose(
         np.asarray(poses_d), np.asarray(single.poses), atol=1e-3

@@ -139,3 +139,63 @@ def test_street_monocular_full_stack():
     assert late_rmse < 12.0, late_rmse
     # map stayed within capacity and holds street-scale structure
     assert int(fe.state.map_count) > 100_000
+
+
+def test_distributed_ba_in_pipeline_matches_single(street_frames):
+    """BASELINE config 4: the sparse tracker's sliding-window RGB-D Schur BA
+    runs landmark-sharded over the 8-device mesh (`parallel.ba.
+    make_distributed_ba`, normal equations psum-reduced over ICI) inside a
+    real street run — not just the `test_ba.py` random-problem parity — and
+    lands on the single-device trajectory."""
+    from densemonoslam_tpu.parallel.mesh import make_mesh
+
+    seq, frames = street_frames
+    finals = {}
+    for use_mesh in (False, True):
+        mesh = make_mesh(n_cams=8) if use_mesh else None
+        trk = SparseTracker(
+            seq.camera.intrinsics, run_local_ba=True, keyframe_min_disp=1.0,
+            mesh=mesh,
+        )
+        trk.pose = seq.gt_pose(0).astype(np.float32)
+        for i in range(150):
+            trk.track(*frames[i])
+        trk.flush()
+        assert trk.local_ba_runs > 10
+        if use_mesh:
+            assert trk._dist_ba is not None, "distributed BA never invoked"
+        finals[use_mesh] = np.asarray(trk.pose)
+    diff = float(
+        np.linalg.norm(finals[True][:3, 3] - finals[False][:3, 3])
+    )
+    # same optimum modulo collective reduction order, compounded over ~25
+    # BA windows
+    assert diff < 0.1, diff
+    gt_err = float(
+        np.linalg.norm(finals[True][:3, 3] - seq.gt_pose(149)[:3, 3])
+    )
+    assert gt_err < 0.9, gt_err
+
+
+def test_distributed_pgo_closes_street_loop():
+    """BASELINE config 4, pose-graph half: a full 520-frame lap where the
+    loop-closure pose-graph solve runs edge-sharded over the 8-device mesh
+    (`parallel.ba.make_distributed_pgo`) — the correction must still reach
+    the live pose."""
+    from densemonoslam_tpu.parallel.mesh import make_mesh
+
+    seq = StreetSequence(num_frames=520, depth_noise=0.005, exposure_jitter=0.03)
+    trk = SparseTracker(
+        seq.camera.intrinsics, run_local_ba=True, keyframe_min_disp=1.0,
+        loop_min_gap=100, mesh=make_mesh(n_cams=8),
+    )
+    trk.pose = seq.gt_pose(0).astype(np.float32)
+    for i in range(520):
+        rgb, depth = seq.frame(i)
+        trk.track(jnp.asarray(_intensity(rgb)), jnp.asarray(depth))
+    trk.flush()
+    assert trk.loops_closed >= 1
+    assert trk._dist_pgo is not None, "distributed PGO never invoked"
+    p = np.asarray(trk.pose)
+    final_err = float(np.linalg.norm(p[:3, 3] - seq.gt_pose(519)[:3, 3]))
+    assert final_err < 0.5, final_err
