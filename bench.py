@@ -83,16 +83,37 @@ def _run_slam(W, H, n_frames, warmup, cfg_kw, intr=None, lap=0,
         eng.process_frame("cam0", rgb, depth, float(i), sync=False)
     jax.block_until_ready(eng.frontends["cam0"].state.map_data)
     loops_pre = eng.frontends["cam0"].loops_closed
-    t0 = time.perf_counter()
-    for i in range(warmup, warmup + n_frames):
-        rgb, depth = frames[i % n_orbit]
-        eng.process_frame("cam0", rgb, depth, float(i), sync=False)
-    jax.block_until_ready(eng.frontends["cam0"].state.map_data)
-    fps = n_frames / (time.perf_counter() - t0)
+    # time every local-loop invocation inside the timed region so the bench
+    # reports the end-to-end per-closure cost (docs/PERF_CLOSURE.md)
+    import densemonoslam_tpu.loops as loopsmod
+
+    loop_s = [0.0, 0]
+    orig_try = loopsmod.try_local_loop
+
+    def timed_try(*a, **k):
+        t = time.perf_counter()
+        out = orig_try(*a, **k)
+        loop_s[0] += time.perf_counter() - t
+        loop_s[1] += 1
+        return out
+
+    loopsmod.try_local_loop = timed_try
+    try:
+        t0 = time.perf_counter()
+        for i in range(warmup, warmup + n_frames):
+            rgb, depth = frames[i % n_orbit]
+            eng.process_frame("cam0", rgb, depth, float(i), sync=False)
+        jax.block_until_ready(eng.frontends["cam0"].state.map_data)
+        fps = n_frames / (time.perf_counter() - t0)
+    finally:
+        loopsmod.try_local_loop = orig_try
     loops_timed = eng.frontends["cam0"].loops_closed - loops_pre
+    ms_per_closure = (
+        1e3 * loop_s[0] / loops_timed if loops_timed else 0.0
+    )
     est = [p for _, p in eng.frontends["cam0"].trajectory]
     gt = [seq.gt_pose(i % n_orbit) for i in range(len(est))]
-    return fps, ate_rmse(est, gt) * 1000.0, eng, loops_timed
+    return fps, ate_rmse(est, gt) * 1000.0, eng, loops_timed, ms_per_closure
 
 
 def _run_mono_street():
@@ -244,7 +265,7 @@ def main() -> None:
     warmup = 4
     # 1) headline: open-loop 640x480 (loop machinery's one-off compiles would
     # dominate a cold benchmark process; measured separately below)
-    fps_open, ate_mm, eng, _ = _run_slam(
+    fps_open, ate_mm, eng, _, _ = _run_slam(
         640, 480, n_frames, warmup, dict(open_loop=True)
     )
     # 2) closed loop over a revisit lap: fern updates + local-loop attempts
@@ -253,7 +274,7 @@ def main() -> None:
     # deform + pose-history rewrite + compaction) execute inside the timed
     # region.  Warmup spans the first lap + one closure so every loop
     # program's one-off compile lands outside the timing.
-    fps_closed, _, _, loops_timed = _run_slam(
+    fps_closed, _, _, loops_timed, ms_closure = _run_slam(
         640, 480, 60, 45,
         dict(open_loop=False, loop_check_interval=8, time_delta=30,
              deform_graph_sample_rate=2000, max_deform_nodes=256,
@@ -261,19 +282,19 @@ def main() -> None:
         lap=40,
     )
     # 3) relocalisation mode (device-side lost counter; <10%% headline cost)
-    fps_reloc, _, _, _ = _run_slam(
+    fps_reloc, _, _, _, _ = _run_slam(
         640, 480, n_frames, warmup, dict(open_loop=True, relocalisation=True)
     )
     # 4) KITTI operating point 1024x320
     from densemonoslam_tpu.config import CameraIntrinsics
 
-    fps_kitti, _, _, _ = _run_slam(
+    fps_kitti, _, _, _, _ = _run_slam(
         1024, 320, n_frames, warmup, dict(open_loop=True),
         intr=CameraIntrinsics(707.09, 707.09, 601.89, 183.11),
     )
     # 4b) DEFAULT-config operating point (pyramid_levels=3, row_stride=1):
     # what a user gets without the benchmarked tuning (VERDICT r3 weak #8)
-    fps_default, _, _, _ = _run_slam(
+    fps_default, _, _, _, _ = _run_slam(
         640, 480, n_frames, warmup, dict(open_loop=True),
         base_cfg=dict(pyramid_levels=3, track_row_stride=1),
     )
@@ -281,7 +302,7 @@ def main() -> None:
     # reference's 5700^2 ~= 32.5M, `GlobalModel.cpp:22-24`).  The windowed
     # design argues per-frame cost is capacity-independent; this proves it
     # (and that a reference-sized map fits HBM: 2.1 GB at 64 B/row).
-    fps_32m, _, _, _ = _run_slam(
+    fps_32m, _, _, _, _ = _run_slam(
         640, 480, max(n_frames // 2, 10), warmup,
         dict(open_loop=True, max_surfels=1 << 25),
     )
@@ -320,6 +341,7 @@ def main() -> None:
                     "closed_loop": {
                         "fps": round(fps_closed, 2),
                         "loops_closed": int(loops_timed),
+                        "ms_per_closure": round(ms_closure, 1),
                     },
                     "closed_loop_fps": round(fps_closed, 2),
                     "default_cfg_fps": round(fps_default, 2),

@@ -748,6 +748,44 @@ class Engine:
             self.merge_into(fe.map_name, other_name, T_ab)
             return
 
+    def batch_align(
+        self, name_a: str, name_b: str, merge: bool = False,
+        min_inliers: int = 30, max_rms: float = 0.25,
+    ):
+        """Initialisation-free wide-baseline alignment of camera `name_a`'s
+        map onto camera `name_b`'s (the reference GUI's "Batch Align"
+        button, `MainController.cpp:815-817` -> `batchAlign` -> FGR): ORB
+        correspondences between the two cameras' CURRENT predicted views,
+        graduated-non-convexity Geman-McClure rigid solve
+        (`tracking.registration.global_registration` — FGR's optimiser), no
+        initial guess.
+
+        Returns (T_ab world transform src-map -> dst-map, inliers, rms), or
+        None when the solve fails the inlier/rms gates (the reference gates
+        its FGR result the same way).  With `merge=True` an accepted
+        alignment is applied via `merge_into`."""
+        from densemonoslam_tpu.tracking import registration
+
+        fa = self.frontends[name_a]
+        fb = self.frontends[name_b]
+        T_cam, inl, rms = registration.global_registration(
+            fa.state.pred_intensity, fa.state.pred_depth,
+            fb.state.pred_intensity, fb.state.pred_depth,
+            fa.camera.intrinsics,
+        )
+        if inl < min_inliers or rms > max_rms:
+            return None
+        # frame-a camera -> frame-b camera; lift to world:
+        # p_worldB = pose_b @ T_cam @ pose_a^-1 @ p_worldA
+        T_ab = (
+            np.asarray(fb.state.pose)
+            @ np.asarray(T_cam)
+            @ np.linalg.inv(np.asarray(fa.state.pose))
+        ).astype(np.float32)
+        if merge and fa.map_name != fb.map_name:
+            self.merge_into(fa.map_name, fb.map_name, T_ab)
+        return T_ab, int(inl), float(rms)
+
     def merge_into(self, src_map: str, dst_map: str, T_ab: np.ndarray) -> None:
         """Merge map `src_map` into `dst_map` with world transform T_ab
         (reference `consumeReferenceFrame`)."""

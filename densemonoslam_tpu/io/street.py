@@ -40,6 +40,7 @@ class StreetScene:
         cam_height: float = 1.5,
         n_props: int = 48,
         seed: int = 7,
+        aliased: bool = False,
     ):
         self.radius = radius
         self.r_in = radius - half_width
@@ -47,11 +48,24 @@ class StreetScene:
         self.ground_y = cam_height
         self.top_y = cam_height - wall_height
         rng = np.random.default_rng(seed)
-        # parked props: spheres resting on the ground along both kerbs
-        ang = np.sort(rng.uniform(0, 2 * np.pi, n_props))
-        side = np.where(rng.uniform(size=n_props) < 0.5, 1.0, -1.0)
+        # parked props: spheres resting on the ground along both kerbs.
+        # `aliased` builds a perceptual-aliasing stressor (VERDICT r4 weak
+        # #4): the prop layout of the first half-ring is REPEATED rotated by
+        # pi, so the street at angle a and a+pi looks locally identical —
+        # two visually similar but geometrically distinct places.  Loop
+        # retrieval must not close across them.
+        if aliased:
+            half = n_props // 2
+            ang_h = np.sort(rng.uniform(0, np.pi, half))
+            ang = np.concatenate([ang_h, ang_h + np.pi])
+            side_h = np.where(rng.uniform(size=half) < 0.5, 1.0, -1.0)
+            side = np.concatenate([side_h, side_h])
+            rad = np.concatenate([rng.uniform(0.5, 1.2, half)] * 2)
+        else:
+            ang = np.sort(rng.uniform(0, 2 * np.pi, n_props))
+            side = np.where(rng.uniform(size=n_props) < 0.5, 1.0, -1.0)
+            rad = rng.uniform(0.5, 1.2, n_props)
         r_prop = radius + side * (half_width - 1.6)
-        rad = rng.uniform(0.5, 1.2, n_props)
         self.sphere_c = np.stack(
             [
                 r_prop * np.sin(ang),
@@ -166,6 +180,8 @@ class StreetSequence:
         exposure_jitter: float = 0.0,
         n_props: int = 48,
         closes: bool = True,
+        seed: int = 7,
+        aliased: bool = False,
     ):
         if camera is None:
             # quarter-KITTI default keeps CPU tests fast; pass
@@ -177,7 +193,9 @@ class StreetSequence:
                 "street",
             )
         self.camera = camera
-        self.scene = StreetScene(radius=radius, n_props=n_props)
+        self.scene = StreetScene(
+            radius=radius, n_props=n_props, seed=seed, aliased=aliased
+        )
         self.poses = street_trajectory(num_frames, radius=radius, closes=closes)
         self.depth_noise = depth_noise
         self.exposure_jitter = exposure_jitter

@@ -337,19 +337,44 @@ def place_updates(
 ):
     """Write a fused block + append the frame's new rows into the map tensor.
 
-    Pure dynamic-update + ONE row scatter over the full buffer
+    Pure dynamic-update + gather placement, no full-buffer scatter
     (alias-friendly — keep these OUTSIDE any lax.cond; see `fuse_window`).
-    Appends land at ``count + rank`` so the result is bit-identical to the
-    old sort-then-contiguous-write path at any capacity; rows past the
-    headroom guard (and non-new rows) are routed to the dump slot (row N).
+    Appends land at ``count + rank``; rows past the headroom guard are
+    dropped (surfaced in the returned count).
+
+    The insertion region [count, count+n_new) is CONTIGUOUS and `rank` is
+    monotone in pixel order, so the appended block can be assembled with a
+    `searchsorted` + row gather and written with ONE dynamic_update_slice.
+    An XLA:TPU row scatter serializes per update row (~measured 35 ms for a
+    1024x320 frame into a 4M-row map — the single most expensive op in the
+    whole fused step); the gather form is ~3 ms and bit-identical on every
+    allocated row (only the dump slot N, defined as garbage, differs).
+    Capacities smaller than one frame keep the scatter path (the slice
+    window would exceed the buffer).
     Returns ``(data, new_count, n_new, dropped)``."""
     N = data.shape[0] - 1
+    S = packed.shape[0]
     data = jax.lax.dynamic_update_slice(data, blk, (row_start, 0))
     # headroom guard: drop the frame's insertions if the map is nearly full
     room = N - count
     n_new = jnp.minimum(n_want, jnp.maximum(room - 1, 0))
-    dest = jnp.where((rank >= 0) & (rank < n_new), count + rank, N)
-    data = data.at[dest].set(packed)
+    if N + 1 > S:
+        is_new = (rank >= 0).astype(jnp.int32)
+        csum = jnp.cumsum(is_new)
+        # clamp the slice window inside the buffer; slots below `count`
+        # keep their original rows via the `take` mask
+        start = jnp.minimum(count, N + 1 - S).astype(jnp.int32)
+        k = start + jnp.arange(S) - count  # target rank per slot
+        src = jnp.clip(
+            jnp.searchsorted(csum, k + 1, side="left"), 0, S - 1
+        ).astype(jnp.int32)
+        take = (k >= 0) & (k < n_new)
+        orig = jax.lax.dynamic_slice(data, (start, 0), (S, sm.COLS))
+        merged = jnp.where(take[:, None], packed[src], orig)
+        data = jax.lax.dynamic_update_slice(data, merged, (start, 0))
+    else:
+        dest = jnp.where((rank >= 0) & (rank < n_new), count + rank, N)
+        data = data.at[dest].set(packed)
     new_count = jnp.minimum(count + n_new, N).astype(jnp.int32)
     return data, new_count, n_new, n_want - n_new
 

@@ -54,7 +54,7 @@ TUNABLE_PARAMS = {
 
 _CONTROL_ACTIONS = (
     "pause", "resume", "step", "save_ply", "save_traj", "save_images",
-    "refresh_cloud",
+    "refresh_cloud", "batch_align",
 )
 
 
@@ -282,6 +282,24 @@ class ViewerServer:
         elif req == "save_images":
             for c in cams:
                 eng.save_view_images(c, self.out_dir, prefix=c)
+        elif req == "batch_align":
+            # reference GUI "Batch Align" button (`MainController.cpp:
+            # 815-817`): FGR-style initialisation-free alignment of the
+            # first camera living in another map onto the first camera
+            out = None
+            if len(cams) >= 2:
+                a = next(
+                    (c for c in cams[1:]
+                     if eng.frontends[c].map_name
+                     != eng.frontends[cams[0]].map_name),
+                    None,
+                )
+                if a is not None:
+                    out = eng.batch_align(a, cams[0], merge=True)
+            with self._lock:
+                self._status["batch_align"] = (
+                    "merged" if out is not None else "rejected"
+                )
 
     # ------------------------------------------------------- HTTP-side API
     def handle_get(self, path: str):
